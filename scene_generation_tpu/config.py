@@ -1,0 +1,212 @@
+"""Typed configuration tree for scene_generation_tpu.
+
+Mirrors the reference flag system (``scene_generation/args.py:10-113``) as a
+single dataclass tree instead of a flat argparse namespace. Checkpoints embed
+the config (reference embeds ``args.__dict__``, ``train.py:133``) so inference
+scripts can rebuild the exact architecture.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset options (reference args.py:18-47)."""
+    image_size: Tuple[int, int] = (128, 128)
+    mask_size: int = 32
+    batch_size: int = 12
+    num_train_samples: Optional[int] = None
+    num_val_samples: int = 1024
+    shuffle_val: bool = True
+    coco_dir: str = "datasets/coco"
+    train_image_dir: str = "datasets/coco/images/train2017"
+    val_image_dir: str = "datasets/coco/images/val2017"
+    train_instances_json: str = "datasets/coco/annotations/instances_train2017.json"
+    train_stuff_json: str = "datasets/coco/annotations/stuff_train2017.json"
+    val_instances_json: str = "datasets/coco/annotations/instances_val2017.json"
+    val_stuff_json: str = "datasets/coco/annotations/stuff_val2017.json"
+    panoptic_train_json: str = "datasets/coco/annotations/panoptic_train2017.json"
+    panoptic_val_json: str = "datasets/coco/annotations/panoptic_val2017.json"
+    panoptic_segmentation_train: str = "datasets/coco/panoptic/annotations/panoptic_train2017"
+    panoptic_segmentation_val: str = "datasets/coco/panoptic/annotations/panoptic_val2017"
+    instance_whitelist: Optional[Tuple[str, ...]] = None
+    stuff_whitelist: Optional[Tuple[str, ...]] = None
+    include_other: bool = False
+    min_object_size: float = 0.02
+    min_objects_per_image: int = 3
+    max_objects_per_image: int = 8
+    stuff_only: bool = True
+    is_panoptic: bool = False
+    # Padded static-shape contract (replaces the reference's ragged
+    # obj_to_img/triple_to_img maps, coco.py:501-547). One slot is reserved
+    # for the dummy __image__ object; triples = one geometric relation per
+    # real object + one __in_image__ edge per real object.
+    max_objs: int = 9            # max_objects_per_image + 1 (__image__)
+    max_triples: int = 16        # 8 relations + 8 __in_image__ edges
+    # Attribute encoding (coco.py:96-98): 10 size bins + 5x5 location grid.
+    size_attribute_len: int = 10
+    grid_size: int = 25
+
+    @property
+    def num_attributes(self) -> int:
+        return self.size_attribute_len + self.grid_size
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Generator stack hyperparameters (reference args.py:49-68, model.py:12-92)."""
+    image_size: Tuple[int, int] = (128, 128)
+    mask_size: int = 32
+    embedding_dim: int = 128
+    gconv_dim: int = 128
+    gconv_hidden_dim: int = 512
+    gconv_pooling: str = "avg"
+    gconv_num_layers: int = 5
+    mlp_normalization: str = "none"
+    appearance_normalization: str = "batch"
+    activation: str = "leakyrelu-0.2"
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    ngf: int = 64
+    norm_g: str = "instance"
+    box_dim: int = 128
+    use_attributes: bool = True
+    box_noise_dim: int = 64
+    mask_noise_dim: int = 64
+    pool_size: int = 100
+    rep_size: int = 32
+    rep_hidden_size: int = 64
+    object_size: int = 64        # appearance-encoder crop size (model.py:27)
+    output_nc: int = 3
+    # Vocab sizes (filled from dataset vocab at build time).
+    num_objs: int = 172
+    num_preds: int = 7
+    num_attributes: int = 35
+    # TPU-specific: computation dtype for convs/matmuls (params stay f32).
+    compute_dtype: str = "float32"
+
+    @property
+    def g_mask_dim(self) -> int:
+        # model.py:68 — gconv_dim + mask_noise_dim.
+        return self.gconv_dim + self.mask_noise_dim
+
+    @property
+    def layout_nc(self) -> int:
+        # model.py:87 — one-hot(class) ++ appearance repr.
+        return self.num_objs + self.rep_size
+
+
+@dataclass(frozen=True)
+class DiscriminatorConfig:
+    """Discriminator hyperparameters (reference args.py:81-100)."""
+    # Image discriminator (MultiscaleDiscriminator, discriminators.py:172).
+    ndf: int = 64
+    num_d: int = 2
+    norm_d: str = "instance"
+    n_layers_d: int = 3
+    no_lsgan: bool = False
+    # Mask discriminator (MultiscaleMaskDiscriminator, discriminators.py:87).
+    ndf_mask: int = 64
+    num_d_mask: int = 1
+    norm_d_mask: str = "instance"
+    n_layers_d_mask: int = 2
+    # Object crop discriminator (AcCropDiscriminator, discriminators.py:39).
+    gan_loss_type: str = "gan"
+    d_normalization: str = "batch"
+    d_padding: str = "valid"
+    d_activation: str = "leakyrelu-0.2"
+    d_obj_arch: str = "C4-64-2,C4-128-2,C4-256-2"
+    crop_size: int = 32
+
+
+@dataclass(frozen=True)
+class LossConfig:
+    """Loss weights (reference args.py:70-79)."""
+    l1_pixel_loss_weight: float = 0.0
+    bbox_pred_loss_weight: float = 10.0
+    vgg_features_weight: float = 10.0
+    d_img_weight: float = 1.0
+    d_img_features_weight: float = 10.0
+    d_mask_weight: float = 1.0
+    d_mask_features_weight: float = 10.0
+    d_obj_weight: float = 0.1
+    ac_loss_weight: float = 0.1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + orchestration (reference args.py:12-16,102-109)."""
+    num_iterations: int = 1_000_000
+    learning_rate: float = 1e-4
+    mask_learning_rate: float = 1e-5
+    beta1: float = 0.5
+    beta2: float = 0.999
+    print_every: int = 100
+    checkpoint_every: int = 10_000
+    output_dir: str = "output"
+    checkpoint_name: str = "checkpoint"
+    restore_from_checkpoint: bool = False
+    seed: int = 0
+    # TPU-specific.
+    profile_dir: Optional[str] = None
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None = all local devices on 'data'
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    discriminator: DiscriminatorConfig = field(default_factory=DiscriminatorConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        d = json.loads(s)
+
+        def _tup(x):
+            return tuple(x) if isinstance(x, list) else x
+
+        def _build(cls, sub):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kw = {}
+            for k, v in sub.items():
+                if k in fields:
+                    kw[k] = _tup(v)
+            return cls(**kw)
+
+        return Config(
+            data=_build(DataConfig, d.get("data", {})),
+            model=_build(ModelConfig, d.get("model", {})),
+            discriminator=_build(DiscriminatorConfig, d.get("discriminator", {})),
+            loss=_build(LossConfig, d.get("loss", {})),
+            train=_build(TrainConfig, d.get("train", {})),
+        )
+
+
+def test_config() -> Config:
+    """A tiny config for fast hermetic CPU tests: 64x64 images, small nets."""
+    return Config(
+        data=DataConfig(image_size=(64, 64), mask_size=16, batch_size=2,
+                        max_objs=5, max_triples=8),
+        model=ModelConfig(image_size=(64, 64), mask_size=16, embedding_dim=32,
+                          gconv_dim=32, gconv_hidden_dim=64, gconv_num_layers=2,
+                          n_downsample_global=2, n_blocks_global=2, ngf=8,
+                          box_dim=32, mask_noise_dim=16, rep_size=8,
+                          rep_hidden_size=16, object_size=32, num_objs=12,
+                          num_preds=7, pool_size=4),
+        discriminator=DiscriminatorConfig(ndf=8, ndf_mask=8,
+                                          d_obj_arch="C4-8-2,C4-16-2",
+                                          crop_size=16),
+        train=TrainConfig(num_iterations=10, print_every=5, checkpoint_every=10),
+    )

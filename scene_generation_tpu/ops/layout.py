@@ -1,0 +1,112 @@
+"""Layout composition: per-object vectors + boxes + masks -> spatial layout.
+
+TPU-native re-design of the reference compositor (``layout.py:64-184``):
+
+  * The reference materializes ``vec (x) mask`` as an (O, D, M, M) tensor and
+    grid-samples all D channels (``layout.py:85-86``). Sampling is linear, so
+    we resample the 1-channel mask once and contract with the vectors on the
+    MXU afterwards — a ~D-fold FLOP/HBM saving (D = num_classes + rep_size,
+    204 by default).
+  * The per-image Python loop over ``obj_to_img`` (``layout.py:149-169``,
+    a GPU-sync hot spot) becomes a vmap over the padded batch axis.
+  * Test-mode occlusion-ordered compositing (``layout.py:157-169``: objects
+    sorted by sampled mass ascending, each claims still-unclaimed pixels
+    where its resampled clean mask > 0.5) is expressed as argsort + exclusive
+    cumulative-max along the (static, small) object axis — fully inside XLA.
+
+Shapes follow the padded batch contract: leading (N, O) with a validity mask
+instead of the reference's flat ragged axis.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from scene_generation_tpu.ops.sampling import box_sample_matrices
+
+
+def _sample_masks(boxes: jax.Array, masks: jax.Array, h: int, w: int):
+    """Resample (N, O, M, M) masks into image space -> (N, O, H, W)."""
+    m = masks.shape[-1]
+    ry, rx = box_sample_matrices(boxes, h, w, m)        # (N,O,H,M), (N,O,W,M)
+    # sampled[n,o,h,w] = sum_{i,j} ry[n,o,h,i] mask[n,o,i,j] rx[n,o,w,j]
+    tmp = jnp.einsum("nohi,noij->nohj", ry, masks.astype(ry.dtype),
+                     preferred_element_type=ry.dtype)
+    return jnp.einsum("nohj,nowj->nohw", tmp, rx,
+                      preferred_element_type=ry.dtype)
+
+
+def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
+                    obj_mask: jax.Array, h: int, w: Optional[int] = None,
+                    test_mode: bool = False) -> jax.Array:
+    """Compose per-object vectors into a spatial layout tensor.
+
+    Equivalent of reference ``masks_to_layout`` (``layout.py:64-93``) with
+    ``_pool_samples`` (``layout.py:131-184``) fused in.
+
+    Args:
+      vecs: (N, O, D) per-object layout vectors.
+      boxes: (N, O, 4) [x0, y0, x1, y1] in [0, 1] image coords.
+      masks: (N, O, M, M) soft masks in [0, 1].
+      obj_mask: (N, O) validity of each object slot (1 = real object).
+      h, w: output spatial size.
+      test_mode: if True use occlusion-ordered compositing (layout.py:157-169)
+        instead of summation over objects (layout.py:149-155).
+
+    Returns:
+      (N, H, W, D) layout (NHWC; the reference returns NCHW).
+    """
+    if w is None:
+        w = h
+    dtype = vecs.dtype
+    sampled = _sample_masks(boxes, masks.astype(dtype), h, w)   # (N,O,H,W)
+    valid = obj_mask.astype(dtype)[:, :, None, None]
+    sampled = sampled * valid
+
+    if not test_mode:
+        # Train path: plain per-image sum over objects (layout.py:149-155).
+        return jnp.einsum("nohw,nod->nhwd", sampled, vecs,
+                          preferred_element_type=dtype)
+
+    # Test path (layout.py:157-169): resample the *clean* binary mask, order
+    # objects by total sampled mass ascending (smaller objects claim pixels
+    # first and therefore win overlaps), let each object claim pixels where
+    # its clean mask > 0.5 that no earlier object claimed.
+    clean = sampled  # identical resample of the same masks (layout.py:88)
+    # mass of reference `samples[j] = vec_j (x) sampled_j`:
+    # sum_dhw = sum_d(vec) * sum_hw(sampled).
+    mass = jnp.sum(vecs, axis=-1) * jnp.sum(sampled, axis=(-1, -2))  # (N,O)
+    # Push invalid slots to the end of the order (they claim nothing anyway).
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    mass = jnp.where(obj_mask.astype(bool), mass, big)
+    order = jnp.argsort(mass, axis=-1)                               # (N,O)
+
+    def per_image(sampled_i, clean_i, vecs_i, order_i, valid_i):
+        s = jnp.take(sampled_i, order_i, axis=0)     # (O,H,W)
+        c = jnp.take(clean_i, order_i, axis=0)
+        v = jnp.take(vecs_i, order_i, axis=0)        # (O,D)
+        vm = jnp.take(valid_i, order_i, axis=0)      # (O,)
+        binm = (c > 0.5).astype(dtype) * vm[:, None, None]
+        # Exclusive cumulative max: has any earlier object claimed this pixel?
+        taken = jnp.cumsum(binm, axis=0)
+        prev_taken = jnp.minimum(taken - binm, 1.0)
+        claim = binm * (1.0 - prev_taken)            # (O,H,W)
+        return jnp.einsum("ohw,od->hwd", s * claim, v,
+                          preferred_element_type=dtype)
+
+    return jax.vmap(per_image)(sampled, clean, vecs, order,
+                               obj_mask.astype(dtype))
+
+
+def boxes_to_layout(vecs: jax.Array, boxes: jax.Array, obj_mask: jax.Array,
+                    h: int, w: Optional[int] = None) -> jax.Array:
+    """Mask-free layout (reference ``boxes_to_layout``, layout.py:28-61).
+
+    The reference expands each vector to a constant 8x8 patch and
+    grid-samples it; equivalent here to compositing all-ones 8x8 masks.
+    """
+    n, o, _ = vecs.shape
+    ones = jnp.ones((n, o, 8, 8), dtype=vecs.dtype)
+    return masks_to_layout(vecs, boxes, ones, obj_mask, h, w, test_mode=False)
