@@ -75,6 +75,7 @@ class ModelConfig:
     norm_g: str = "instance"
     box_dim: int = 128
     use_attributes: bool = True
+    appearance_arch: str = "C4-64-2,C4-128-2,C4-256-2"  # model.py:79
     box_noise_dim: int = 64
     mask_noise_dim: int = 64
     pool_size: int = 100
@@ -194,6 +195,28 @@ class Config:
         )
 
 
+def tiny_config() -> Config:
+    """Smallest viable config — fast XLA:CPU compiles for train-step tests
+    and the multi-chip dry run."""
+    return Config(
+        data=DataConfig(image_size=(32, 32), mask_size=8, batch_size=4,
+                        max_objs=4, max_triples=6, min_objects_per_image=2,
+                        max_objects_per_image=3),
+        model=ModelConfig(image_size=(32, 32), mask_size=8, embedding_dim=16,
+                          gconv_dim=16, gconv_hidden_dim=32, gconv_num_layers=1,
+                          n_downsample_global=1, n_blocks_global=1, ngf=4,
+                          box_dim=16, mask_noise_dim=8, rep_size=4,
+                          rep_hidden_size=8, object_size=16, num_objs=7,
+                          num_preds=7, pool_size=3,
+                          appearance_arch="C4-8-2,C4-16-2"),
+        discriminator=DiscriminatorConfig(ndf=4, ndf_mask=4, num_d=1,
+                                          n_layers_d=1, n_layers_d_mask=1,
+                                          d_obj_arch="C4-8-2", crop_size=8),
+        loss=LossConfig(vgg_features_weight=0.0),
+        train=TrainConfig(num_iterations=4, print_every=2, checkpoint_every=4),
+    )
+
+
 def test_config() -> Config:
     """A tiny config for fast hermetic CPU tests: 64x64 images, small nets."""
     return Config(
@@ -204,7 +227,8 @@ def test_config() -> Config:
                           n_downsample_global=2, n_blocks_global=2, ngf=8,
                           box_dim=32, mask_noise_dim=16, rep_size=8,
                           rep_hidden_size=16, object_size=32, num_objs=12,
-                          num_preds=7, pool_size=4),
+                          num_preds=7, pool_size=4,
+                          appearance_arch="C4-8-2,C4-16-2,C4-32-2"),
         discriminator=DiscriminatorConfig(ndf=8, ndf_mask=8,
                                           d_obj_arch="C4-8-2,C4-16-2",
                                           crop_size=16),

@@ -1,0 +1,99 @@
+"""The padded batch contract.
+
+This replaces the reference's ragged-flat collate (``coco_collate_fn``,
+coco.py:501-547) — THE core data contract of the reference — with fixed
+shapes so the entire train step jits and shards:
+
+  imgs        (N, H, W, 3) float32, normalized to [-1, 1]
+  objs        (N, MAX_O)   int32 contiguous class ids (0 = __image__/pad)
+  boxes       (N, MAX_O, 4) float32 [x0, y0, x1, y1] in [0, 1]
+  masks       (N, MAX_O, M, M) float32 binary
+  triples     (N, MAX_T, 3) int32 local [s, p, o]
+  attributes  (N, MAX_O, A) float32 (size ++ location one-hots)
+  obj_mask    (N, MAX_O)   float32 validity
+  triple_mask (N, MAX_T)   float32 validity
+
+``obj_to_img`` / ``triple_to_img`` disappear: object slot o of image n IS the
+mapping. Padded boxes are unit boxes so interpolation matrices stay benign.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    imgs: np.ndarray
+    objs: np.ndarray
+    boxes: np.ndarray
+    masks: np.ndarray
+    triples: np.ndarray
+    attributes: np.ndarray
+    obj_mask: np.ndarray
+    triple_mask: np.ndarray
+
+    @property
+    def num_images(self) -> int:
+        return self.imgs.shape[0]
+
+
+class Example(NamedTuple):
+    """One image with its ragged scene graph (host-side, pre-padding)."""
+    image: np.ndarray        # (H, W, 3) normalized
+    objs: np.ndarray         # (o,)
+    boxes: np.ndarray        # (o, 4)
+    masks: np.ndarray        # (o, M, M)
+    triples: np.ndarray      # (t, 3) local indices
+    attributes: np.ndarray   # (o, A)
+
+
+def pad_example(ex: Example, max_objs: int, max_triples: int):
+    """Pad one ragged example to the static contract."""
+    o = ex.objs.shape[0]
+    t = ex.triples.shape[0]
+    if o > max_objs:
+        raise ValueError(f"{o} objects > max_objs={max_objs}")
+    if t > max_triples:
+        raise ValueError(f"{t} triples > max_triples={max_triples}")
+    m = ex.masks.shape[-1]
+    a = ex.attributes.shape[-1]
+
+    objs = np.zeros(max_objs, np.int32)
+    boxes = np.zeros((max_objs, 4), np.float32)
+    boxes[:, 2:] = 1.0
+    masks = np.zeros((max_objs, m, m), np.float32)
+    triples = np.zeros((max_triples, 3), np.int32)
+    attributes = np.zeros((max_objs, a), np.float32)
+    obj_mask = np.zeros(max_objs, np.float32)
+    triple_mask = np.zeros(max_triples, np.float32)
+
+    objs[:o] = ex.objs
+    boxes[:o] = ex.boxes
+    masks[:o] = ex.masks
+    triples[:t] = ex.triples
+    attributes[:o] = ex.attributes
+    obj_mask[:o] = 1.0
+    triple_mask[:t] = 1.0
+    return objs, boxes, masks, triples, attributes, obj_mask, triple_mask
+
+
+def collate(examples: Sequence[Example], max_objs: int,
+            max_triples: int) -> Batch:
+    """Stack padded examples into a Batch (device-ready numpy)."""
+    imgs, objs, boxes, masks, triples, attrs, om, tm = [], [], [], [], [], [], [], []
+    for ex in examples:
+        padded = pad_example(ex, max_objs, max_triples)
+        imgs.append(ex.image)
+        for buf, val in zip((objs, boxes, masks, triples, attrs, om, tm), padded):
+            buf.append(val)
+    return Batch(
+        imgs=np.stack(imgs).astype(np.float32),
+        objs=np.stack(objs),
+        boxes=np.stack(boxes),
+        masks=np.stack(masks),
+        triples=np.stack(triples),
+        attributes=np.stack(attrs),
+        obj_mask=np.stack(om),
+        triple_mask=np.stack(tm),
+    )

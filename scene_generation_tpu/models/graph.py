@@ -1,0 +1,89 @@
+"""Scene-graph convolution (flax), padded-batch formulation.
+
+Reference: ``GraphTripleConv`` / ``GraphTripleConvNet``
+(``scene_generation/graph.py:33-147``). One layer: gather (s, o) vectors per
+triple, run the concatenated ``[s, p, o]`` through ``net1``, split into new
+(s', p', o') pieces, average-pool s'/o' back onto objects, run ``net2``.
+
+TPU-native differences:
+  * operates on (N, MAX_O, D) / (N, MAX_T, D) padded tensors with local
+    per-image edge indices + a triple validity mask;
+  * scatter_add pooling (graph.py:94-116) becomes one-hot MXU matmuls
+    (ops/graph_ops.segment_pool_objects).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from flax import linen as nn
+
+from scene_generation_tpu.models.layers import MLP, kaiming_normal
+from scene_generation_tpu.ops.graph_ops import segment_pool_objects, triple_gather
+
+
+class GraphTripleConv(nn.Module):
+    """One scene-graph conv layer (graph.py:33-122)."""
+    input_dim: int
+    attributes_dim: int = 0
+    output_dim: Optional[int] = None
+    hidden_dim: int = 512
+    pooling: str = "avg"
+    mlp_normalization: str = "none"
+    dtype = None
+
+    @nn.compact
+    def __call__(self, obj_vecs: jax.Array, pred_vecs: jax.Array,
+                 edges: jax.Array, triple_mask: jax.Array, train: bool = True):
+        """
+        Args:
+          obj_vecs: (N, O, input_dim + attributes_dim).
+          pred_vecs: (N, T, input_dim).
+          edges: (N, T, 2) int local [s, o] indices.
+          triple_mask: (N, T) validity.
+        Returns:
+          (new_obj_vecs (N, O, Dout), new_pred_vecs (N, T, Dout)).
+        """
+        h = self.hidden_dim
+        dout = self.output_dim if self.output_dim is not None else self.input_dim
+        din = self.input_dim
+        o = obj_vecs.shape[1]
+
+        s_vecs, o_vecs = triple_gather(obj_vecs, edges)
+        t_vecs = jax.numpy.concatenate([s_vecs, pred_vecs, o_vecs], axis=-1)
+        # net1: [3*Din + 2*A, H, 2H + Dout] (graph.py:49-52).
+        new_t = MLP((3 * din + 2 * self.attributes_dim, h, 2 * h + dout),
+                    batch_norm=self.mlp_normalization,
+                    kernel_init=kaiming_normal, name="net1")(
+                        t_vecs, train=train)
+        new_s = new_t[..., :h]
+        new_p = new_t[..., h:h + dout]
+        new_o = new_t[..., h + dout:2 * h + dout]
+
+        pooled = segment_pool_objects(new_s, new_o, edges, triple_mask, o,
+                                      pooling=self.pooling)
+        # net2: [H, H, Dout] (graph.py:54-56).
+        new_obj = MLP((h, h, dout), batch_norm=self.mlp_normalization,
+                      kernel_init=kaiming_normal, name="net2")(
+                          pooled, train=train)
+        return new_obj, new_p
+
+
+class GraphTripleConvNet(nn.Module):
+    """Stack of gconv layers (graph.py:125-147)."""
+    input_dim: int
+    num_layers: int = 5
+    hidden_dim: int = 512
+    pooling: str = "avg"
+    mlp_normalization: str = "none"
+
+    @nn.compact
+    def __call__(self, obj_vecs, pred_vecs, edges, triple_mask,
+                 train: bool = True):
+        for i in range(self.num_layers):
+            obj_vecs, pred_vecs = GraphTripleConv(
+                input_dim=self.input_dim, hidden_dim=self.hidden_dim,
+                pooling=self.pooling, mlp_normalization=self.mlp_normalization,
+                name=f"gconv_{i}")(obj_vecs, pred_vecs, edges, triple_mask,
+                                   train=train)
+        return obj_vecs, pred_vecs

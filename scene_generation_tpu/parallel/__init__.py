@@ -1,0 +1,4 @@
+from scene_generation_tpu.parallel.mesh import (
+    create_mesh, shard_batch, replicate_state, batch_sharding)
+
+__all__ = ["create_mesh", "shard_batch", "replicate_state", "batch_sharding"]

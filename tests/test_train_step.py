@@ -1,0 +1,91 @@
+"""End-to-end train-step tests on the tiny config (SURVEY.md §4 (c)/(e))."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from scene_generation_tpu.config import tiny_config
+from scene_generation_tpu.data import synthetic_batch
+from scene_generation_tpu.trainer import create_train_state, pool_query
+from scene_generation_tpu.trainer.pools import create_pool
+from scene_generation_tpu.trainer.step import make_train_step
+
+
+@pytest.fixture(scope="module")
+def trained():
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, seed=0)
+    mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                     load_vgg=False)
+    step = make_train_step(mods, donate=False)
+    states = [state]
+    metrics = []
+    for i in range(3):
+        s, m = step(states[-1], synthetic_batch(cfg, seed=i))
+        states.append(s)
+        metrics.append(m)
+    return cfg, states, metrics
+
+
+def test_step_counter_and_finiteness(trained):
+    _, states, metrics = trained
+    assert int(states[-1].step) == 3
+    for m in metrics:
+        for k, v in m.items():
+            assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_all_params_update(trained):
+    _, states, _ = trained
+    before, after = states[0], states[1]
+
+    def frac_changed(a, b):
+        leaves_a, leaves_b = jax.tree.leaves(a), jax.tree.leaves(b)
+        changed = sum(float(np.any(np.asarray(x) != np.asarray(y)))
+                      for x, y in zip(leaves_a, leaves_b))
+        return changed / max(1, len(leaves_a))
+
+    assert frac_changed(before.g_params, after.g_params) > 0.9
+    assert frac_changed(before.d_img_params, after.d_img_params) > 0.9
+    assert frac_changed(before.d_obj_params, after.d_obj_params) > 0.9
+    assert frac_changed(before.d_mask_params, after.d_mask_params) > 0.9
+
+
+def test_pool_populates(trained):
+    _, states, _ = trained
+    assert int((np.asarray(states[-1].pool.counts) > 0).sum()) > 0
+
+
+def test_pool_query_semantics():
+    pool = create_pool(num_classes=3, pool_size=2, rep_size=4)
+    rng = jax.random.PRNGKey(0)
+    objs = jnp.asarray([1, 1, 2], jnp.int32)
+    reprs = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    mask = jnp.ones((3,))
+    wrong, pool = pool_query(pool, rng, objs, reprs, mask)
+    # Empty pool: returns the object's own vector (utils.py:77-79).
+    np.testing.assert_allclose(np.asarray(wrong), np.asarray(reprs))
+    assert int(pool.counts[1]) == 2 and int(pool.counts[2]) == 1
+    # Second query returns stored (previous) vectors, not the new ones.
+    new_reprs = reprs + 100
+    wrong2, pool = pool_query(pool, jax.random.PRNGKey(1), objs, new_reprs,
+                              mask)
+    assert float(np.abs(np.asarray(wrong2)).max()) < 100
+    # Invalid rows neither read their class nor write.
+    pool3 = create_pool(3, 2, 4)
+    w3, pool3 = pool_query(pool3, rng, objs, reprs,
+                           jnp.asarray([0.0, 0.0, 0.0]))
+    assert int(pool3.counts.sum()) == 0
+
+
+def test_determinism():
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, seed=5)
+    outs = []
+    for _ in range(2):
+        mods, state = create_train_state(cfg, jax.random.PRNGKey(7), batch,
+                                         load_vgg=False)
+        step = make_train_step(mods, donate=False)
+        _, m = step(state, batch)
+        outs.append(float(m["total_loss"]))
+    assert outs[0] == outs[1]
