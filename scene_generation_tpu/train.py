@@ -1,0 +1,259 @@
+"""Training CLI (reference ``train.py:166-231``).
+
+Usage:
+  python -m scene_generation_tpu.train --synthetic --num_iterations 100
+  python -m scene_generation_tpu.train --coco_dir datasets/coco ...
+
+Flow: build loaders -> init/restore state -> jitted adversarial step over a
+data-parallel mesh -> periodic loss/image logging -> periodic check_model
+(IoU + IS) -> checkpoint with best-state promotion.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scene_generation_tpu.config import (Config, DataConfig, LossConfig,
+                                         ModelConfig, TrainConfig, tiny_config)
+from scene_generation_tpu.data.loader import DataLoader
+from scene_generation_tpu.data.synthetic import SyntheticDataset
+from scene_generation_tpu.parallel import (create_mesh, replicate_state,
+                                           shard_batch)
+from scene_generation_tpu.trainer.checkpoint import CheckpointManager
+from scene_generation_tpu.trainer.evaluation import check_model
+from scene_generation_tpu.trainer.step import make_train_step
+from scene_generation_tpu.trainer.train_state import create_train_state
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    # Optimization (args.py:13-16).
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--num_iterations", type=int, default=1_000_000)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--mask_learning_rate", type=float, default=1e-5)
+    # Dataset (args.py:18-47).
+    p.add_argument("--image_size", type=str, default="128,128")
+    p.add_argument("--num_train_samples", type=int, default=None)
+    p.add_argument("--num_val_samples", type=int, default=1024)
+    p.add_argument("--coco_dir", type=str, default="datasets/coco")
+    p.add_argument("--synthetic", action="store_true",
+                   help="procedural dataset; no COCO files needed")
+    p.add_argument("--synthetic_size", type=int, default=512)
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny architecture (CI/smoke)")
+    # Generator (args.py:49-68).
+    p.add_argument("--mask_size", type=int, default=32)
+    p.add_argument("--embedding_dim", type=int, default=128)
+    p.add_argument("--gconv_dim", type=int, default=128)
+    p.add_argument("--gconv_num_layers", type=int, default=5)
+    p.add_argument("--n_downsample_global", type=int, default=4)
+    p.add_argument("--use_attributes", type=int, default=1)
+    # Loss weights (args.py:70-79).
+    p.add_argument("--l1_pixel_loss_weight", type=float, default=0.0)
+    p.add_argument("--bbox_pred_loss_weight", type=float, default=10.0)
+    p.add_argument("--vgg_features_weight", type=float, default=10.0)
+    p.add_argument("--d_img_weight", type=float, default=1.0)
+    p.add_argument("--d_img_features_weight", type=float, default=10.0)
+    p.add_argument("--d_mask_weight", type=float, default=1.0)
+    p.add_argument("--d_mask_features_weight", type=float, default=10.0)
+    p.add_argument("--d_obj_weight", type=float, default=0.1)
+    p.add_argument("--ac_loss_weight", type=float, default=0.1)
+    p.add_argument("--gan_loss_type", type=str, default="gan")
+    # Output (args.py:102-109).
+    p.add_argument("--print_every", type=int, default=100)
+    p.add_argument("--checkpoint_every", type=int, default=10000)
+    p.add_argument("--output_dir", type=str, default="output")
+    p.add_argument("--checkpoint_name", type=str, default="checkpoint")
+    p.add_argument("--restore_from_checkpoint", type=int, default=0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--timing", action="store_true")
+    return p.parse_args(argv)
+
+
+def config_from_args(a: argparse.Namespace) -> Config:
+    if a.tiny:
+        cfg = tiny_config()
+        return cfg.replace(train=dataclasses.replace(
+            cfg.train, num_iterations=a.num_iterations,
+            print_every=a.print_every, checkpoint_every=a.checkpoint_every,
+            output_dir=a.output_dir, checkpoint_name=a.checkpoint_name,
+            restore_from_checkpoint=bool(a.restore_from_checkpoint),
+            seed=a.seed))
+    size = tuple(int(x) for x in a.image_size.split(","))
+    return Config(
+        data=DataConfig(image_size=size, mask_size=a.mask_size,
+                        batch_size=a.batch_size,
+                        num_train_samples=a.num_train_samples,
+                        num_val_samples=a.num_val_samples,
+                        coco_dir=a.coco_dir),
+        model=ModelConfig(image_size=size, mask_size=a.mask_size,
+                          embedding_dim=a.embedding_dim,
+                          gconv_dim=a.gconv_dim,
+                          gconv_num_layers=a.gconv_num_layers,
+                          n_downsample_global=a.n_downsample_global,
+                          use_attributes=bool(a.use_attributes)),
+        loss=LossConfig(
+            l1_pixel_loss_weight=a.l1_pixel_loss_weight,
+            bbox_pred_loss_weight=a.bbox_pred_loss_weight,
+            vgg_features_weight=a.vgg_features_weight,
+            d_img_weight=a.d_img_weight,
+            d_img_features_weight=a.d_img_features_weight,
+            d_mask_weight=a.d_mask_weight,
+            d_mask_features_weight=a.d_mask_features_weight,
+            d_obj_weight=a.d_obj_weight, ac_loss_weight=a.ac_loss_weight),
+        train=TrainConfig(num_iterations=a.num_iterations,
+                          learning_rate=a.learning_rate,
+                          mask_learning_rate=a.mask_learning_rate,
+                          print_every=a.print_every,
+                          checkpoint_every=a.checkpoint_every,
+                          output_dir=a.output_dir,
+                          checkpoint_name=a.checkpoint_name,
+                          restore_from_checkpoint=bool(
+                              a.restore_from_checkpoint),
+                          seed=a.seed))
+
+
+def build_datasets(cfg: Config, a: argparse.Namespace):
+    if a.synthetic:
+        train = SyntheticDataset(cfg, size=a.synthetic_size, seed=cfg.train.seed)
+        val = SyntheticDataset(cfg, size=max(8, a.synthetic_size // 8),
+                               seed=cfg.train.seed + 1)
+        return train.vocab, train, val
+    from scene_generation_tpu.data.coco import CocoSceneGraphDataset
+    d = cfg.data
+    common = dict(image_size=d.image_size, mask_size=d.mask_size,
+                  min_object_size=d.min_object_size,
+                  min_objects_per_image=d.min_objects_per_image,
+                  max_objects_per_image=d.max_objects_per_image,
+                  instance_whitelist=d.instance_whitelist,
+                  stuff_whitelist=d.stuff_whitelist,
+                  include_other=d.include_other)
+    cdir = a.coco_dir
+    train = CocoSceneGraphDataset(
+        image_dir=os.path.join(cdir, "images/train2017"),
+        instances_json=os.path.join(
+            cdir, "annotations/instances_train2017.json"),
+        stuff_json=os.path.join(cdir, "annotations/stuff_train2017.json"),
+        max_samples=d.num_train_samples, seed=cfg.train.seed, **common)
+    val = CocoSceneGraphDataset(
+        image_dir=os.path.join(cdir, "images/val2017"),
+        instances_json=os.path.join(
+            cdir, "annotations/instances_val2017.json"),
+        stuff_json=os.path.join(cdir, "annotations/stuff_val2017.json"),
+        max_samples=d.num_val_samples, seed=cfg.train.seed, **common)
+    assert train.vocab["object_to_idx"] == val.vocab["object_to_idx"]
+    return train.vocab, train, val
+
+
+def main(argv=None):
+    a = parse_args(argv)
+    cfg = config_from_args(a)
+    vocab, train_dset, val_dset = build_datasets(cfg, a)
+    num_objs = len(vocab["object_to_idx"])
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, num_objs=num_objs))
+    print(f"dataset: {len(train_dset)} train / {len(val_dset)} val images, "
+          f"{num_objs} classes")
+
+    os.makedirs(cfg.train.output_dir, exist_ok=True)
+    with open(os.path.join(cfg.train.output_dir, "args.json"), "w") as f:
+        json.dump(vars(a), f)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(cfg.train.output_dir)
+    except Exception:
+        pass
+
+    dl_kwargs = dict(batch_size=cfg.data.batch_size,
+                     max_objs=cfg.data.max_objs,
+                     max_triples=cfg.data.max_triples, num_workers=4)
+    train_loader = DataLoader(train_dset, shuffle=True,
+                              seed=cfg.train.seed, **dl_kwargs)
+    val_loader = DataLoader(val_dset, shuffle=cfg.data.shuffle_val,
+                            seed=cfg.train.seed + 1, **dl_kwargs)
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    init_batch = next(iter(train_loader))
+    mods, state = create_train_state(cfg, rng, init_batch)
+
+    ckpt = CheckpointManager(cfg.train.output_dir, cfg.train.checkpoint_name)
+    meta = None
+    if cfg.train.restore_from_checkpoint and ckpt.has_checkpoint():
+        meta = ckpt.load_meta()
+        state = ckpt.restore(state)
+        print(f"restored checkpoint at t={meta['counters']['t']}")
+    if meta is None:
+        meta = ckpt.new_meta(cfg, vocab)
+
+    # Largest device count that divides the global batch.
+    n_dev = len(jax.devices())
+    while cfg.data.batch_size % n_dev:
+        n_dev -= 1
+    mesh = create_mesh(n_dev)
+    state = replicate_state(state, mesh)
+    step_fn = make_train_step(mods)
+    t = meta["counters"]["t"]
+    epoch = meta["counters"]["epoch"]
+
+    print(f"training on {mesh.devices.size} device(s); "
+          f"{cfg.train.num_iterations} iterations")
+    t_start = time.time()
+    while t < cfg.train.num_iterations:
+        epoch += 1
+        for batch in train_loader:
+            if t >= cfg.train.num_iterations:
+                break
+            t += 1
+            sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+            state, metrics = step_fn(state, sharded)
+
+            if t % cfg.train.print_every == 0 or t == 1:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                rate = t / (time.time() - t_start)
+                print(f"t = {t} / {cfg.train.num_iterations} "
+                      f"({rate:.2f} it/s)")
+                for name, val in sorted(metrics.items()):
+                    print(f"  [{name}]: {val:.4f}")
+                    meta["losses"].setdefault(name, []).append(val)
+                    if writer:
+                        writer.add_scalar(f"g_loss/{name}", val,
+                                          t // cfg.train.print_every)
+                meta["losses_ts"].append(t)
+
+            if t % cfg.train.checkpoint_every == 0:
+                print("checking on train/val")
+                tr = check_model(mods, state, iter(val_loader), use_gt=True,
+                                 num_samples=cfg.data.num_val_samples)
+                va = check_model(mods, state, iter(val_loader), use_gt=False,
+                                 num_samples=cfg.data.num_val_samples)
+                print(f"train iou: {tr[0]:.4f}  val iou: {va[0]:.4f}")
+                meta["checkpoint_ts"].append(t)
+                meta["train_inception"].append(tr[1])
+                meta["counters"] = {"t": t, "epoch": epoch}
+                is_best = ckpt.maybe_promote_best(meta, state, va[1])
+                ckpt.save(state, best=False)
+                ckpt.save_meta(meta)
+                if writer:
+                    writer.add_scalar("checkpoint/train_iou", tr[0], t)
+                    writer.add_scalar("checkpoint/val_iou", va[0], t)
+                print(f"saved checkpoint (best={is_best})")
+
+    meta["counters"] = {"t": t, "epoch": epoch}
+    ckpt.save(state, best=False)
+    ckpt.save_meta(meta)
+    print(f"done: {t} iterations in {time.time() - t_start:.1f}s")
+    return state, meta
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Hermetic COCO pipeline tests: fake on-disk dataset -> vocab -> examples
+-> padded batches -> loader."""
+import numpy as np
+import pytest
+
+from scene_generation_tpu.data.batching import collate
+from scene_generation_tpu.data.coco import CocoSceneGraphDataset
+from scene_generation_tpu.data.fake_coco import make_fake_coco
+from scene_generation_tpu.data.loader import DataLoader
+
+
+@pytest.fixture(scope="module")
+def dset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    paths = make_fake_coco(str(root), num_images=8)
+    return CocoSceneGraphDataset(
+        image_dir=paths["image_dir"], instances_json=paths["instances_json"],
+        stuff_json=paths["stuff_json"], image_size=(64, 64), mask_size=16,
+        min_object_size=0.01, min_objects_per_image=2,
+        max_objects_per_image=8, seed=0)
+
+
+def test_vocab_shape(dset):
+    v = dset.vocab
+    assert v["object_name_to_idx"]["__image__"] == 0
+    assert v["object_to_idx"][0] == 0
+    assert v["pred_idx_to_name"][0] == "__in_image__"
+    assert len(v["pred_idx_to_name"]) == 7
+    # contiguous class ids
+    ids = sorted(v["object_to_idx"].values())
+    assert ids == list(range(len(ids)))
+
+
+def test_getitem_contract(dset):
+    ex = dset[0]
+    o = ex.objs.shape[0]
+    assert ex.image.shape == (64, 64, 3)
+    assert -1.0 <= ex.image.min() and ex.image.max() <= 1.0
+    assert ex.boxes.shape == (o, 4)
+    assert ex.masks.shape == (o, 16, 16)
+    assert set(np.unique(ex.masks)).issubset({0.0, 1.0})
+    assert ex.attributes.shape == (o, 35)
+    # __image__ is last: class 0, full box, full mask.
+    assert ex.objs[-1] == 0
+    np.testing.assert_array_equal(ex.boxes[-1], [0, 0, 1, 1])
+    assert ex.masks[-1].min() == 1.0
+    # every real object has exactly one size and one location attribute
+    assert np.all(ex.attributes[:, :10].sum(1) == 1)
+    assert np.all(ex.attributes[:, 10:].sum(1) == 1)
+    # triples: one relation per real object (when >1) + in_image edges
+    o_real = o - 1
+    assert ex.triples.shape[0] == (o_real if o_real > 1 else 0) + o_real
+    assert np.all(ex.triples[:, 0] < o)
+    assert np.all(ex.triples[:, 2] < o)
+    in_img = ex.triples[ex.triples[:, 1] == 0]
+    assert np.all(in_img[:, 2] == o - 1)
+
+
+def test_masks_cover_boxes(dset):
+    """Fake objects are axis-aligned rectangles: box-cropped masks ~ones."""
+    ex = dset[1]
+    for i in range(ex.objs.shape[0] - 1):
+        assert ex.masks[i].mean() > 0.8
+
+
+def test_collate_and_loader(dset):
+    batch = collate([dset[i] for i in range(4)], max_objs=9, max_triples=16)
+    assert batch.imgs.shape == (4, 64, 64, 3)
+    assert batch.objs.shape == (4, 9)
+    assert batch.obj_mask.sum() > 0
+    # loader end-to-end
+    loader = DataLoader(dset, batch_size=4, max_objs=9, max_triples=16,
+                        num_workers=2, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(dset) // 4
+    for b in batches:
+        assert b.imgs.shape[0] == 4
+        assert np.isfinite(b.imgs).all()
+
+
+def test_epoch_graphs_are_resampled(dset):
+    """Scene graphs are synthesized per epoch (random partner choice)."""
+    t1 = dset[2].triples
+    diff = False
+    for _ in range(10):
+        t2 = dset[2].triples
+        if t1.shape != t2.shape or not np.array_equal(t1, t2):
+            diff = True
+            break
+    assert diff
+
+
+def test_pretrained_vocab_insertion(dset):
+    mapping = dict(dset.object_to_idx)
+    dset.insert_pre_trained_vocab({str(k): v for k, v in mapping.items()})
+    assert dset.object_to_idx == mapping
