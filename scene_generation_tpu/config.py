@@ -91,6 +91,12 @@ class ModelConfig:
     compute_dtype: str = "float32"
 
     @property
+    def jax_compute_dtype(self):
+        import jax.numpy as jnp
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                "float16": jnp.float16}[self.compute_dtype]
+
+    @property
     def g_mask_dim(self) -> int:
         # model.py:68 — gconv_dim + mask_noise_dim.
         return self.gconv_dim + self.mask_noise_dim

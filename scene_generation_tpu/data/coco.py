@@ -198,6 +198,7 @@ class CocoSceneGraphDataset:
             self.image_dir, self.image_id_to_filename[iid]), self.image_size)
 
         anns = self.image_id_to_objects[iid]
+        item_ctx = self._prepare_item(iid)
         o_real = len(anns)
         objs, boxes, masks = [], [], []
         size_attr = np.zeros((o_real + 1, self.size_attribute_len), np.float32)
@@ -221,7 +222,7 @@ class CocoSceneGraphDataset:
 
             # Mask: decode full-size, crop to box, resize, binarize
             # (coco.py:298-310).
-            mask = seg_to_mask(ann["segmentation"], iw, ih)
+            mask = self._decode_mask(ann, item_ctx, iw, ih)
             mx0, mx1 = int(round(x)), int(round(x + bw))
             my0, my1 = int(round(y)), int(round(y + bh))
             mx1 = max(mx0 + 1, mx1)
@@ -296,6 +297,13 @@ class CocoSceneGraphDataset:
                        masks=masks_arr,
                        triples=np.asarray(triples, np.int32).reshape(-1, 3),
                        attributes=attributes.astype(np.float32))
+
+    # --- hooks for the panoptic variant -----------------------------------
+    def _prepare_item(self, iid: int):
+        return None
+
+    def _decode_mask(self, ann, ctx, iw: int, ih: int) -> np.ndarray:
+        return seg_to_mask(ann["segmentation"], iw, ih)
 
     def _propagate(self, s: int, p: str, o: int, loc_attr, size_attr,
                    loc_distr) -> None:

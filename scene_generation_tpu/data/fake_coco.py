@@ -99,6 +99,46 @@ def make_fake_coco(root: str, num_images: int = 8,
             "area": float(bw * bh), "iscrowd": 0})
         ann_id += 1
 
+    # --- panoptic variant: segments_info + id-colored PNGs ---
+    pan_dir = os.path.join(root, "panoptic")
+    os.makedirs(pan_dir, exist_ok=True)
+    pan_images, pan_anns = [], []
+    pan_categories = (
+        [{"id": c["id"], "name": c["name"], "isthing": 1}
+         for c in INSTANCE_CATEGORIES]
+        + [{"id": c["id"], "name": c["name"], "isthing": 0}
+           for c in STUFF_CATEGORIES])
+    rng2 = np.random.RandomState(seed + 1)
+    for img in images:
+        iid = img["id"]
+        seg_png = np.zeros((H, W, 3), np.uint8)
+        segments = []
+        for k in range(rng2.randint(2, 4)):
+            sid = iid * 100 + k + 1
+            bw = rng2.randint(W // 4, W // 2)
+            bh = rng2.randint(H // 4, H // 2)
+            x = rng2.randint(0, W - bw)
+            y = rng2.randint(0, H - bh)
+            seg_png[y:y + bh, x:x + bw] = [sid % 256, (sid // 256) % 256,
+                                           sid // 65536]
+            cat = int(rng2.choice([c["id"] for c in pan_categories[:4]]))
+            segments.append({"id": sid, "category_id": cat,
+                             "area": int(bw * bh),
+                             "bbox": [float(x), float(y), float(bw),
+                                      float(bh)], "iscrowd": 0})
+        fname = img["file_name"][:-3] + "png"
+        PIL.Image.fromarray(seg_png).save(os.path.join(pan_dir, fname))
+        pan_images.append(img)
+        pan_anns.append({"image_id": iid, "file_name": fname,
+                         "segments_info": segments})
+    pan_json = os.path.join(ann_dir, "panoptic.json")
+    with open(pan_json, "w") as f:
+        json.dump({"images": pan_images, "annotations": pan_anns,
+                   "categories": pan_categories}, f)
+    pan_cat_json = os.path.join(ann_dir, "panoptic_categories.json")
+    with open(pan_cat_json, "w") as f:
+        json.dump(pan_categories, f)
+
     inst_json = os.path.join(ann_dir, "instances.json")
     stuff_json = os.path.join(ann_dir, "stuff.json")
     with open(inst_json, "w") as f:
@@ -108,4 +148,5 @@ def make_fake_coco(root: str, num_images: int = 8,
         json.dump({"images": images, "annotations": stuff_anns,
                    "categories": STUFF_CATEGORIES}, f)
     return {"image_dir": img_dir, "instances_json": inst_json,
-            "stuff_json": stuff_json}
+            "stuff_json": stuff_json, "panoptic_json": pan_json,
+            "panoptic_categories": pan_cat_json, "panoptic_dir": pan_dir}

@@ -30,7 +30,7 @@ class GraphTripleConv(nn.Module):
     hidden_dim: int = 512
     pooling: str = "avg"
     mlp_normalization: str = "none"
-    dtype = None
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, obj_vecs: jax.Array, pred_vecs: jax.Array,
@@ -53,7 +53,7 @@ class GraphTripleConv(nn.Module):
         t_vecs = jax.numpy.concatenate([s_vecs, pred_vecs, o_vecs], axis=-1)
         # net1: [3*Din + 2*A, H, 2H + Dout] (graph.py:49-52).
         new_t = MLP((3 * din + 2 * self.attributes_dim, h, 2 * h + dout),
-                    batch_norm=self.mlp_normalization,
+                    batch_norm=self.mlp_normalization, dtype=self.dtype,
                     kernel_init=kaiming_normal, name="net1")(
                         t_vecs, train=train)
         new_s = new_t[..., :h]
@@ -64,8 +64,8 @@ class GraphTripleConv(nn.Module):
                                       pooling=self.pooling)
         # net2: [H, H, Dout] (graph.py:54-56).
         new_obj = MLP((h, h, dout), batch_norm=self.mlp_normalization,
-                      kernel_init=kaiming_normal, name="net2")(
-                          pooled, train=train)
+                      dtype=self.dtype, kernel_init=kaiming_normal,
+                      name="net2")(pooled, train=train)
         return new_obj, new_p
 
 
@@ -76,6 +76,7 @@ class GraphTripleConvNet(nn.Module):
     hidden_dim: int = 512
     pooling: str = "avg"
     mlp_normalization: str = "none"
+    dtype: Optional[object] = None
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, triple_mask,
@@ -84,6 +85,7 @@ class GraphTripleConvNet(nn.Module):
             obj_vecs, pred_vecs = GraphTripleConv(
                 input_dim=self.input_dim, hidden_dim=self.hidden_dim,
                 pooling=self.pooling, mlp_normalization=self.mlp_normalization,
+                dtype=self.dtype,
                 name=f"gconv_{i}")(obj_vecs, pred_vecs, edges, triple_mask,
                                    train=train)
         return obj_vecs, pred_vecs

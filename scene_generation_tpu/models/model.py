@@ -42,7 +42,44 @@ class SceneModel(nn.Module):
     """Reference ``Model`` (model.py:12-124) on the padded contract."""
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        dtype = cfg.jax_compute_dtype
+        self.obj_embeddings = nn.Embed(cfg.num_objs, cfg.embedding_dim,
+                                       dtype=dtype)
+        self.pred_embeddings = nn.Embed(cfg.num_preds, cfg.embedding_dim,
+                                        dtype=dtype)
+        attributes_dim = cfg.num_attributes if cfg.use_attributes else 0
+        self._attributes_dim = attributes_dim
+        if cfg.gconv_num_layers == 0:
+            self.gconv_linear = nn.Dense(cfg.gconv_dim, dtype=dtype)
+        else:
+            self.gconv = GraphTripleConv(
+                input_dim=cfg.embedding_dim, attributes_dim=attributes_dim,
+                output_dim=cfg.gconv_dim, hidden_dim=cfg.gconv_hidden_dim,
+                pooling=cfg.gconv_pooling, dtype=dtype,
+                mlp_normalization=cfg.mlp_normalization)
+        if cfg.gconv_num_layers > 1:
+            self.gconv_net = GraphTripleConvNet(
+                input_dim=cfg.gconv_dim, num_layers=cfg.gconv_num_layers - 1,
+                hidden_dim=cfg.gconv_hidden_dim, pooling=cfg.gconv_pooling,
+                dtype=dtype, mlp_normalization=cfg.mlp_normalization)
+        self.box_net = MLP((cfg.box_dim, cfg.gconv_hidden_dim, 4),
+                           batch_norm=cfg.mlp_normalization, dtype=dtype)
+        self.mask_net = MaskNet(dim=cfg.g_mask_dim, mask_size=cfg.mask_size,
+                                dtype=dtype)
+        self.repr_net = MLP((cfg.g_mask_dim, cfg.rep_hidden_size,
+                             cfg.rep_size),
+                            batch_norm=cfg.mlp_normalization, dtype=dtype)
+        self.image_encoder = AppearanceEncoder(
+            arch=cfg.appearance_arch, vecs_size=cfg.g_mask_dim,
+            normalization=cfg.appearance_normalization,
+            activation=cfg.activation, dtype=dtype)
+        self.layout_to_image = GlobalGenerator(
+            output_nc=cfg.output_nc, ngf=cfg.ngf,
+            n_downsampling=cfg.n_downsample_global,
+            n_blocks=cfg.n_blocks_global, dtype=dtype)
+
     def __call__(self,
                  objs: jax.Array,
                  triples: jax.Array,
@@ -65,15 +102,16 @@ class SceneModel(nn.Module):
             object in the batch (reference quirk, model.py:149-152).
           features / features_mask: (N, O, rep_size) user/cluster appearance
             vectors and which rows they override (inference; model.py:159-163).
-          wrong_rep: (N, O, rep_size) appearance vectors from the host-side
-            VectorPool for the "wrong texture" negative (model.py:170).
+          wrong_rep: (N, O, rep_size) appearance vectors from the replay pool
+            for the "wrong texture" negative (model.py:170).
         """
         cfg = self.cfg
+        dtype = cfg.jax_compute_dtype
         n, o = objs.shape
         h, w = cfg.image_size
 
-        obj_vecs, _ = self._scene_graph_to_vectors(
-            objs, triples, attributes, triple_mask, train)
+        obj_vecs = self.scene_graph_to_vectors(objs, triples, attributes,
+                                               triple_mask, train)
 
         # --- create_components_vecs (model.py:145-172) ---
         box_vecs = obj_vecs
@@ -82,25 +120,18 @@ class SceneModel(nn.Module):
         mask_vecs = jnp.concatenate([obj_vecs, noise], axis=-1)  # (N,O,192)
 
         flat_w = obj_mask.reshape(n * o)
-        repr_net = MLP((cfg.g_mask_dim, cfg.rep_hidden_size, cfg.rep_size),
-                       batch_norm=cfg.mlp_normalization, name="repr_net")
-        encoder = AppearanceEncoder(arch=cfg.appearance_arch,
-                                    vecs_size=cfg.g_mask_dim,
-                                    normalization=cfg.appearance_normalization,
-                                    activation=cfg.activation,
-                                    name="image_encoder")
         if features is None:
             # Training: encode GT crops (model.py:156-157).
-            crops = crop_bbox_batch(imgs, boxes_gt, cfg.object_size)
+            crops = crop_bbox_batch(imgs.astype(dtype), boxes_gt,
+                                    cfg.object_size)
             flat = crops.reshape(n * o, cfg.object_size, cfg.object_size, 3)
-            enc = encoder(flat, train=train, weights=flat_w)
-            obj_repr = repr_net(enc, train=train,
-                                weights=flat_w).reshape(n, o, cfg.rep_size)
+            obj_repr = self.encode_crops(flat, train, flat_w).reshape(
+                n, o, cfg.rep_size)
         else:
             # Inference: repr from mask_vecs, overridden by given features
             # (model.py:159-163).
-            obj_repr = repr_net(mask_vecs.reshape(n * o, -1), train=False
-                                ).reshape(n, o, cfg.rep_size)
+            obj_repr = self.repr_net(mask_vecs.reshape(n * o, -1),
+                                     train=False).reshape(n, o, cfg.rep_size)
             if features_mask is None:
                 features_mask = jnp.ones((n, o), obj_repr.dtype)
             fm = features_mask[..., None].astype(obj_repr.dtype)
@@ -110,29 +141,23 @@ class SceneModel(nn.Module):
         layout_vecs = jnp.concatenate([one_hot, obj_repr], axis=-1)
 
         # --- boxes (model.py:103) + masks (model.py:106-107) ---
-        boxes_pred = MLP((cfg.box_dim, cfg.gconv_hidden_dim, 4),
-                         batch_norm=cfg.mlp_normalization, name="box_net")(
-                             box_vecs, train=train)
-        mask_logits = MaskNet(dim=cfg.g_mask_dim, mask_size=cfg.mask_size,
-                              name="mask_net")(
+        boxes_pred = self.box_net(box_vecs, train=train).astype(jnp.float32)
+        mask_logits = self.mask_net(
             mask_vecs.reshape(n * o, cfg.g_mask_dim), train=train,
             weights=flat_w)
-        masks_pred = jax.nn.sigmoid(mask_logits).reshape(
+        masks_pred = jax.nn.sigmoid(mask_logits.astype(jnp.float32)).reshape(
             n, o, cfg.mask_size, cfg.mask_size)
-
-        generator = GlobalGenerator(
-            output_nc=cfg.output_nc, ngf=cfg.ngf,
-            n_downsampling=cfg.n_downsample_global,
-            n_blocks=cfg.n_blocks_global, name="layout_to_image")
 
         if test_mode:
             boxes = boxes_gt if use_gt_box else boxes_pred
             masks = masks_gt if masks_gt is not None else masks_pred
-            layout_pred = masks_to_layout(layout_vecs, boxes, masks, obj_mask,
+            layout_pred = masks_to_layout(layout_vecs, boxes.astype(dtype),
+                                          masks.astype(dtype), obj_mask,
                                           h, w, test_mode=True)
-            imgs_pred = generator(layout_pred)
+            imgs_pred = self.layout_to_image(layout_pred).astype(jnp.float32)
             return ModelOutput(imgs_pred, boxes_pred, masks_pred, None,
-                               layout_pred, None, obj_repr)
+                               layout_pred.astype(jnp.float32), None,
+                               obj_repr.astype(jnp.float32))
 
         # Train: image is generated from the GT layout; predicted boxes and
         # masks train only through their own losses (model.py:119-123).
@@ -146,40 +171,39 @@ class SceneModel(nn.Module):
             [one_hot, wrong_rep.astype(obj_repr.dtype)], axis=-1)
         layout_wrong = masks_to_layout(wrong_vecs, boxes_gt, masks_gt,
                                        obj_mask, h, w, test_mode=False)
-        imgs_pred = generator(layout)
-        return ModelOutput(imgs_pred, boxes_pred, masks_pred, layout,
-                           layout_pred, layout_wrong, obj_repr)
+        imgs_pred = self.layout_to_image(layout).astype(jnp.float32)
+        return ModelOutput(imgs_pred, boxes_pred, masks_pred,
+                           layout.astype(jnp.float32),
+                           layout_pred.astype(jnp.float32),
+                           layout_wrong.astype(jnp.float32),
+                           obj_repr.astype(jnp.float32))
 
-    def _scene_graph_to_vectors(self, objs, triples, attributes, triple_mask,
-                                train):
+    def encode_crops(self, crops_flat: jax.Array, train: bool = False,
+                     weights: Optional[jax.Array] = None) -> jax.Array:
+        """Appearance path: crops -> encoder -> repr (model.py:156-157);
+        exposed for scripts/encode_features.py."""
+        enc = self.image_encoder(crops_flat, train=train, weights=weights)
+        return self.repr_net(enc, train=train, weights=weights)
+
+    def scene_graph_to_vectors(self, objs, triples, attributes, triple_mask,
+                               train: bool = True):
         """Reference ``scene_graph_to_vectors`` (model.py:126-143)."""
         cfg = self.cfg
         p = triples[..., 1]
         edges = jnp.stack([triples[..., 0], triples[..., 2]], axis=-1)
 
-        obj_vecs = nn.Embed(cfg.num_objs, cfg.embedding_dim,
-                            name="obj_embeddings")(objs)
-        pred_vecs = nn.Embed(cfg.num_preds, cfg.embedding_dim,
-                             name="pred_embeddings")(p)
-        attributes_dim = 0
+        obj_vecs = self.obj_embeddings(objs)
+        pred_vecs = self.pred_embeddings(p)
         if cfg.use_attributes:
-            attributes_dim = cfg.num_attributes
             obj_vecs = jnp.concatenate(
                 [obj_vecs, attributes.astype(obj_vecs.dtype)], axis=-1)
 
         if cfg.gconv_num_layers == 0:
-            obj_vecs = nn.Dense(cfg.gconv_dim, name="gconv_linear")(obj_vecs)
+            obj_vecs = self.gconv_linear(obj_vecs)
         else:
-            obj_vecs, pred_vecs = GraphTripleConv(
-                input_dim=cfg.embedding_dim, attributes_dim=attributes_dim,
-                output_dim=cfg.gconv_dim, hidden_dim=cfg.gconv_hidden_dim,
-                pooling=cfg.gconv_pooling,
-                mlp_normalization=cfg.mlp_normalization, name="gconv")(
-                    obj_vecs, pred_vecs, edges, triple_mask, train=train)
+            obj_vecs, pred_vecs = self.gconv(obj_vecs, pred_vecs, edges,
+                                             triple_mask, train=train)
         if cfg.gconv_num_layers > 1:
-            obj_vecs, pred_vecs = GraphTripleConvNet(
-                input_dim=cfg.gconv_dim, num_layers=cfg.gconv_num_layers - 1,
-                hidden_dim=cfg.gconv_hidden_dim, pooling=cfg.gconv_pooling,
-                mlp_normalization=cfg.mlp_normalization, name="gconv_net")(
-                    obj_vecs, pred_vecs, edges, triple_mask, train=train)
-        return obj_vecs, pred_vecs
+            obj_vecs, pred_vecs = self.gconv_net(obj_vecs, pred_vecs, edges,
+                                                 triple_mask, train=train)
+        return obj_vecs

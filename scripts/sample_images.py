@@ -1,0 +1,150 @@
+"""Batch inference / evaluation CLI (reference ``scripts/sample_images.py``).
+
+Implements the Figure-3 ablation modes (README.md:84-94):
+  (c) --use_gt_boxes 1 --use_gt_masks 1    GT layout
+  (d) --use_gt_attr 1                      GT location/size attributes
+  (e) --use_gt_textures 1                  GT appearance (crop-encoded)
+  (f) none                                 scene graph only
+plus --sample_attributes. Reports avg IoU and recall@0.5/0.3
+(sample_images.py:241-295) and saves per-image predictions/layouts/graphs.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--checkpoint_name", default="checkpoint")
+    p.add_argument("--best", type=int, default=0)
+    p.add_argument("--features_path", default=None,
+                   help="features_clustered_100.npy from encode_features")
+    p.add_argument("--use_gt_boxes", type=int, default=0)
+    p.add_argument("--use_gt_masks", type=int, default=0)
+    p.add_argument("--use_gt_attr", type=int, default=0)
+    p.add_argument("--use_gt_textures", type=int, default=0)
+    p.add_argument("--sample_attributes", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--save_dir", default="samples")
+    p.add_argument("--save_imgs", type=int, default=1)
+    p.add_argument("--save_layouts", type=int, default=1)
+    p.add_argument("--save_graphs", type=int, default=0)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--coco_dir", default="datasets/coco")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args()
+
+
+def build_loader(model, a):
+    from scene_generation_tpu.data.loader import DataLoader
+    cfg = model.cfg
+    if a.synthetic:
+        from scene_generation_tpu.data.synthetic import SyntheticDataset
+        dset = SyntheticDataset(cfg, size=max(a.num_samples, a.batch_size),
+                                seed=a.seed + 7)
+    else:
+        from scene_generation_tpu.data.coco import CocoSceneGraphDataset
+        d = cfg.data
+        dset = CocoSceneGraphDataset(
+            image_dir=os.path.join(a.coco_dir, "images/val2017"),
+            instances_json=os.path.join(
+                a.coco_dir, "annotations/instances_val2017.json"),
+            stuff_json=os.path.join(
+                a.coco_dir, "annotations/stuff_val2017.json"),
+            image_size=d.image_size, mask_size=d.mask_size,
+            min_object_size=d.min_object_size,
+            min_objects_per_image=d.min_objects_per_image,
+            max_objects_per_image=d.max_objects_per_image,
+            sample_attributes=bool(a.sample_attributes),
+            test_part=True, seed=a.seed)
+        dset.insert_pre_trained_vocab(model.vocab["object_to_idx"])
+    return DataLoader(dset, batch_size=a.batch_size,
+                      max_objs=cfg.data.max_objs,
+                      max_triples=cfg.data.max_triples, shuffle=False,
+                      num_workers=4)
+
+
+def main():
+    a = parse_args()
+    from scene_generation_tpu.api import InferenceModel
+    from scene_generation_tpu.data.image_utils import deprocess
+    from scene_generation_tpu.metrics import jaccard
+    from scene_generation_tpu.vis import draw_layout, draw_scene_graph
+    import jax.numpy as jnp
+    import PIL.Image
+
+    model = InferenceModel.from_checkpoint(
+        a.output_dir, a.checkpoint_name, best=bool(a.best),
+        features_path=a.features_path)
+    loader = build_loader(model, a)
+    os.makedirs(a.save_dir, exist_ok=True)
+    rng = np.random.RandomState(a.seed)
+
+    total_iou = total_boxes = total_r05 = total_r03 = 0.0
+    saved = 0
+    for batch in loader:
+        if a.use_gt_textures:
+            features = None
+        else:
+            features = model.sample_cluster_features(batch.objs,
+                                                     batch.obj_mask, rng)
+        out = model.forward_batch(
+            batch, use_gt_boxes=bool(a.use_gt_boxes),
+            use_gt_masks=bool(a.use_gt_masks),
+            use_gt_attributes=bool(a.use_gt_attr or a.sample_attributes),
+            features=features)
+        mask = batch.obj_mask * (batch.objs != 0)
+        iou, r05, r03 = jaccard(out.boxes_pred, jnp.asarray(batch.boxes),
+                                jnp.asarray(mask))
+        total_iou += float(iou)
+        total_r05 += float(r05)
+        total_r03 += float(r03)
+        total_boxes += float(mask.sum())
+
+        for i in range(batch.num_images):
+            if saved >= a.num_samples:
+                break
+            stem = os.path.join(a.save_dir, f"img{saved:06d}")
+            if a.save_imgs:
+                PIL.Image.fromarray(
+                    deprocess(np.asarray(out.imgs_pred[i]))).save(
+                        stem + "_pred.png")
+                PIL.Image.fromarray(
+                    deprocess(np.asarray(batch.imgs[i]))).save(
+                        stem + "_gt.png")
+            if a.save_layouts:
+                o_real = int(batch.obj_mask[i].sum())
+                PIL.Image.fromarray(draw_layout(
+                    model.vocab, batch.objs[i][:o_real],
+                    np.asarray(out.boxes_pred[i])[:o_real],
+                    np.asarray(out.masks_pred[i])[:o_real])).save(
+                        stem + "_layout.png")
+            if a.save_graphs:
+                t_real = int(batch.triple_mask[i].sum())
+                res = draw_scene_graph(model.vocab, batch.objs[i],
+                                       batch.triples[i][:t_real],
+                                       output_path=stem + "_graph.png")
+                if isinstance(res, str) and not res.endswith(".png"):
+                    with open(stem + "_graph.dot", "w") as f:
+                        f.write(res)
+            saved += 1
+        if saved >= a.num_samples:
+            break
+
+    nb = max(total_boxes, 1.0)
+    results = {"avg_iou": total_iou / nb, "recall@0.5": total_r05 / nb,
+               "recall@0.3": total_r03 / nb, "num_images": saved}
+    print(json.dumps(results))
+    with open(os.path.join(a.save_dir, "results.json"), "w") as f:
+        json.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -94,3 +94,29 @@ def test_pretrained_vocab_insertion(dset):
     mapping = dict(dset.object_to_idx)
     dset.insert_pre_trained_vocab({str(k): v for k, v in mapping.items()})
     assert dset.object_to_idx == mapping
+
+
+def test_panoptic_dataset(tmp_path_factory):
+    from scene_generation_tpu.data.coco_panoptic import (
+        CocoPanopticSceneGraphDataset)
+    root = tmp_path_factory.mktemp("coco_pan")
+    paths = make_fake_coco(str(root), num_images=6)
+    dset = CocoPanopticSceneGraphDataset(
+        image_dir=paths["image_dir"], panoptic=paths["panoptic_json"],
+        panoptic_segmentation=paths["panoptic_dir"],
+        panoptic_categories=paths["panoptic_categories"],
+        image_size=(64, 64), mask_size=16, min_object_size=0.005,
+        min_objects_per_image=1, max_objects_per_image=8, seed=0)
+    assert len(dset) > 0
+    ex = dset[0]
+    o = ex.objs.shape[0]
+    assert ex.image.shape == (64, 64, 3)
+    assert ex.masks.shape == (o, 16, 16)
+    assert ex.objs[-1] == 0
+    # Real-object masks come from the panoptic PNG and are non-empty.
+    for i in range(o - 1):
+        assert ex.masks[i].sum() > 0
+    # The reference's include_sentence AttributeError is fixed: iterating
+    # the whole dataset works.
+    for i in range(len(dset)):
+        dset[i]
