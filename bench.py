@@ -59,33 +59,45 @@ def build_forward():
     noise0 = jnp.zeros((mc.mask_noise_dim,), jnp.float32)
 
     # Jit the init: eager init dispatches thousands of tiny remote ops
-    # through the tunnel (minutes); compiled it is one round trip.
-    variables = jax.jit(lambda k: model.init(
-        k, objs, triples, attrs, obj_mask, triple_mask, noise0,
-        test_mode=True, train=False, features=features,
-        features_mask=features_mask))(jax.random.PRNGKey(0))
+    # through the tunnel (minutes); compiled it is one round trip. All
+    # inputs are arguments so XLA cannot constant-fold the traced forward.
+    def init_fn(k, objs, triples, attrs, obj_mask, triple_mask, noise0,
+                features, features_mask):
+        return model.init(k, objs, triples, attrs, obj_mask, triple_mask,
+                          noise0, test_mode=True, train=False,
+                          features=features, features_mask=features_mask)
 
+    variables = jax.jit(init_fn)(
+        jax.random.PRNGKey(0), objs, triples, attrs, obj_mask, triple_mask,
+        noise0, features, features_mask)
+
+    # NOTE: variables/inputs are passed as ARGUMENTS — captured in a closure
+    # they would be baked into the HLO as giant literal constants and stall
+    # compilation.
     @jax.jit
-    def single(noise):
+    def single(variables, inputs, noise):
+        objs, triples, attrs, obj_mask, triple_mask, features, fmask = inputs
         out = model.apply(variables, objs, triples, attrs, obj_mask,
                           triple_mask, noise, test_mode=True, train=False,
-                          features=features, features_mask=features_mask)
+                          features=features, features_mask=fmask)
         img = out.imgs_pred
         # Next-call noise derived from this image: the data dependency makes
         # the device execute chained calls strictly sequentially.
         next_noise = noise + jnp.mean(img) * 1e-6
         return img, next_noise
 
-    return single
+    inputs = (objs, triples, attrs, obj_mask, triple_mask, features,
+              features_mask)
+    return single, variables, inputs
 
 
-def timed_chain(single, k, repeats=REPEATS):
+def timed_chain(single, variables, inputs, k, repeats=REPEATS):
     ts = []
     for _ in range(repeats):
         noise = jnp.zeros((64,), jnp.float32)
         t0 = time.perf_counter()
         for _ in range(k):
-            img, noise = single(noise)
+            img, noise = single(variables, inputs, noise)
         float(jnp.mean(img))  # one readback syncs the whole chain
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
@@ -98,14 +110,14 @@ def main():
         print(f"# {msg}", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
-    single = build_forward()
-    log(f"init done {time.perf_counter() - t0:.1f}s")
-    img, noise = single(jnp.zeros((64,), jnp.float32))  # compile + warm
+    single, variables, inputs = build_forward()
+    log(f"init dispatched {time.perf_counter() - t0:.1f}s")
+    img, noise = single(variables, inputs, jnp.zeros((64,), jnp.float32))
     float(jnp.mean(img))
     log(f"compile+warm done {time.perf_counter() - t0:.1f}s")
-    t1 = timed_chain(single, 1)
+    t1 = timed_chain(single, variables, inputs, 1)
     log(f"t1={t1:.3f}s")
-    tk = timed_chain(single, K_LONG)
+    tk = timed_chain(single, variables, inputs, K_LONG)
     log(f"tK={tk:.3f}s")
     per_iter = (tk - t1) / (K_LONG - 1)
     imgs_per_sec = BATCH / per_iter
