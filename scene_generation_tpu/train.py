@@ -76,6 +76,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--restore_from_checkpoint", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--timing", action="store_true")
+    # Tracing/profiling (SURVEY.md §5): capture a jax.profiler trace of
+    # steps [profile_start, profile_start + profile_steps).
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--profile_start", type=int, default=10)
+    p.add_argument("--profile_steps", type=int, default=5)
     return p.parse_args(argv)
 
 
@@ -214,8 +219,14 @@ def main(argv=None):
             if t >= cfg.train.num_iterations:
                 break
             t += 1
+            if a.profile_dir and t == a.profile_start:
+                jax.profiler.start_trace(a.profile_dir)
             sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
             state, metrics = step_fn(state, sharded)
+            if a.profile_dir and t == a.profile_start + a.profile_steps:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {a.profile_dir}")
 
             if t % cfg.train.print_every == 0 or t == 1:
                 metrics = {k: float(v) for k, v in metrics.items()}

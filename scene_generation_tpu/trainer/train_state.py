@@ -85,25 +85,33 @@ def create_train_state(cfg: Config, rng: jax.Array, batch: Batch,
     r_model, r_dimg, r_dobj, r_dmask, r_vgg, r_state = jax.random.split(rng, 6)
     noise = jnp.zeros((mc.mask_noise_dim,), jnp.float32)
 
-    g_vars = mods.model.init(
+    # All inits are jitted with inputs as ARGUMENTS: eager init is thousands
+    # of tiny dispatches (minutes over a remote tunnel), and closure-captured
+    # constants would trigger compile-time constant folding of the forward.
+    def g_init(key, objs, triples, attrs, om, tm, noise, imgs, boxes, masks):
+        return mods.model.init(key, objs, triples, attrs, om, tm, noise,
+                               imgs=imgs, boxes_gt=boxes, masks_gt=masks)
+
+    g_vars = jax.jit(g_init)(
         r_model, jnp.asarray(batch.objs), jnp.asarray(batch.triples),
         jnp.asarray(batch.attributes), jnp.asarray(batch.obj_mask),
-        jnp.asarray(batch.triple_mask), noise, imgs=jnp.asarray(batch.imgs),
-        boxes_gt=jnp.asarray(batch.boxes), masks_gt=jnp.asarray(batch.masks))
+        jnp.asarray(batch.triple_mask), noise, jnp.asarray(batch.imgs),
+        jnp.asarray(batch.boxes), jnp.asarray(batch.masks))
 
     layout_nc = mc.layout_nc
-    d_img_vars = mods.d_img.init(
+    d_img_vars = jax.jit(mods.d_img.init)(
         r_dimg, jnp.zeros((n, h, w, layout_nc + mc.output_nc)))
-    d_obj_vars = mods.d_obj.init(
+    d_obj_vars = jax.jit(mods.d_obj.init)(
         r_dobj, jnp.asarray(batch.imgs), jnp.asarray(batch.boxes),
         jnp.asarray(batch.obj_mask))
-    d_mask_vars = mods.d_mask.init(
+    d_mask_vars = jax.jit(mods.d_mask.init)(
         r_dmask, jnp.zeros((n * o, mc.mask_size, mc.mask_size, 1)),
         jnp.zeros((n * o, mc.num_objs)))
 
     vgg_params = None
     if mods.vgg is not None:
-        vgg_params = mods.vgg.init(r_vgg, jnp.zeros((1, h, w, 3)))["params"]
+        vgg_params = jax.jit(mods.vgg.init)(
+            r_vgg, jnp.zeros((1, h, w, 3)))["params"]
         if load_vgg:
             vgg_params, loaded = load_torch_vgg19(dict(vgg_params))
             if not loaded:
