@@ -154,7 +154,8 @@ class InceptionV3(nn.Module):
     dtype: Optional[object] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 return_features: bool = False):
         d = self.dtype
         x = BasicConv2d(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3",
                         dtype=d)(x, train)
@@ -176,8 +177,11 @@ class InceptionV3(nn.Module):
         x = InceptionD(name="Mixed_7a", dtype=d)(x, train)
         x = InceptionE(name="Mixed_7b", dtype=d)(x, train)
         x = InceptionE(name="Mixed_7c", dtype=d)(x, train)
-        x = jnp.mean(x, axis=(1, 2))
-        return nn.Dense(self.num_classes, dtype=d, name="fc")(x)
+        pooled = jnp.mean(x, axis=(1, 2))   # (N, 2048) "pool3" features
+        logits = nn.Dense(self.num_classes, dtype=d, name="fc")(pooled)
+        if return_features:
+            return logits, pooled
+        return logits
 
 
 def resize_bilinear(imgs: jax.Array, size=(299, 299)) -> jax.Array:
@@ -250,7 +254,8 @@ def create_inception_probs_fn(rng: Optional[jax.Array] = None,
     """-> (probs_fn(imgs [-1,1] NHWC) -> (N, 1000) softmax, loaded_flag)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     model = InceptionV3(dtype=dtype)
-    variables = model.init(rng, jnp.zeros((1, 299, 299, 3)), train=False)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        rng, jnp.zeros((1, 299, 299, 3)))
     variables, loaded = load_torch_inception(dict(variables))
 
     @jax.jit
@@ -260,3 +265,24 @@ def create_inception_probs_fn(rng: Optional[jax.Array] = None,
         return jax.nn.softmax(logits, axis=-1)
 
     return probs_fn, loaded
+
+
+def create_inception_features_fn(rng: Optional[jax.Array] = None,
+                                 dtype=None):
+    """-> (features_fn(imgs [-1,1] NHWC) -> (N, 2048) pool3, loaded_flag).
+
+    Feature extractor for FID (metrics_fid.py)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    model = InceptionV3(dtype=dtype)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        rng, jnp.zeros((1, 299, 299, 3)))
+    variables, loaded = load_torch_inception(dict(variables))
+
+    @jax.jit
+    def features_fn(imgs):
+        x = resize_bilinear(imgs.astype(jnp.float32))
+        _, feats = model.apply(variables, x, train=False,
+                               return_features=True)
+        return feats
+
+    return features_fn, loaded

@@ -81,6 +81,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--profile_start", type=int, default=10)
     p.add_argument("--profile_steps", type=int, default=5)
+    # Multi-host: initialize jax.distributed before device discovery so the
+    # mesh spans the slice (ICI) / slices (DCN).
+    p.add_argument("--distributed", action="store_true")
+    # Inception score during check_model (random-init InceptionV3 unless a
+    # torchvision checkpoint is available; see models/inception.py).
+    p.add_argument("--eval_inception", action="store_true")
     return p.parse_args(argv)
 
 
@@ -161,6 +167,8 @@ def build_datasets(cfg: Config, a: argparse.Namespace):
 
 def main(argv=None):
     a = parse_args(argv)
+    if a.distributed:
+        jax.distributed.initialize()
     cfg = config_from_args(a)
     vocab, train_dset, val_dset = build_datasets(cfg, a)
     num_objs = len(vocab["object_to_idx"])
@@ -210,13 +218,33 @@ def main(argv=None):
     t = meta["counters"]["t"]
     epoch = meta["counters"]["epoch"]
 
+    probs_fn = None
+    if a.eval_inception:
+        from scene_generation_tpu.models.inception import (
+            create_inception_probs_fn)
+        probs_fn, loaded = create_inception_probs_fn()
+        if not loaded:
+            print("WARNING: no InceptionV3 weights found; IS values are "
+                  "relative-only (random-init classifier)")
+
+    # Preemption safety (SURVEY.md §5 failure detection): checkpoint on
+    # SIGTERM/SIGINT and exit cleanly; --restore_from_checkpoint 1 resumes.
+    import signal
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
     print(f"training on {mesh.devices.size} device(s); "
           f"{cfg.train.num_iterations} iterations")
     t_start = time.time()
     while t < cfg.train.num_iterations:
         epoch += 1
         for batch in train_loader:
-            if t >= cfg.train.num_iterations:
+            if t >= cfg.train.num_iterations or stop_requested["flag"]:
                 break
             t += 1
             if a.profile_dir and t == a.profile_start:
@@ -244,9 +272,11 @@ def main(argv=None):
             if t % cfg.train.checkpoint_every == 0:
                 print("checking on train/val")
                 tr = check_model(mods, state, iter(val_loader), use_gt=True,
-                                 num_samples=cfg.data.num_val_samples)
+                                 num_samples=cfg.data.num_val_samples,
+                                 probs_fn=probs_fn)
                 va = check_model(mods, state, iter(val_loader), use_gt=False,
-                                 num_samples=cfg.data.num_val_samples)
+                                 num_samples=cfg.data.num_val_samples,
+                                 probs_fn=probs_fn)
                 print(f"train iou: {tr[0]:.4f}  val iou: {va[0]:.4f}")
                 meta["checkpoint_ts"].append(t)
                 meta["train_inception"].append(tr[1])
@@ -259,10 +289,17 @@ def main(argv=None):
                     writer.add_scalar("checkpoint/val_iou", va[0], t)
                 print(f"saved checkpoint (best={is_best})")
 
+        if stop_requested["flag"]:
+            break
+
     meta["counters"] = {"t": t, "epoch": epoch}
     ckpt.save(state, best=False)
     ckpt.save_meta(meta)
-    print(f"done: {t} iterations in {time.time() - t_start:.1f}s")
+    if stop_requested["flag"]:
+        print(f"preempted: checkpointed at t={t}; resume with "
+              f"--restore_from_checkpoint 1")
+    else:
+        print(f"done: {t} iterations in {time.time() - t_start:.1f}s")
     return state, meta
 
 

@@ -169,3 +169,31 @@ def test_inception_score_math():
     probs = np.eye(10, dtype=np.float32)[np.arange(50) % 10]
     mean, _ = inception_score_from_probs(probs, splits=1)
     assert abs(mean - 10.0) < 1e-2
+
+
+def test_fid_math():
+    from scene_generation_tpu.metrics_fid import frechet_distance, _stats
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 8)
+    # Identical distributions -> ~0.
+    d0 = frechet_distance(*_stats(a[:250]), *_stats(a[250:]))
+    assert d0 < 0.5
+    # Shifted mean by delta -> >= |delta|^2.
+    b = a + 3.0
+    d1 = frechet_distance(*_stats(a), *_stats(b))
+    assert d1 > 8 * 9 * 0.9  # dims * delta^2, loose
+
+
+def test_fid_accumulator_with_stub_features():
+    from scene_generation_tpu.metrics_fid import FIDAccumulator
+    rng = np.random.RandomState(1)
+    fid = FIDAccumulator(features_fn=lambda x: np.asarray(x).reshape(
+        x.shape[0], -1)[:, :16])
+    real = rng.rand(8, 4, 4, 3).astype(np.float32)
+    fake = rng.rand(8, 4, 4, 3).astype(np.float32) + 0.5
+    fid.add_real(real)
+    fid.add_fake(fake)
+    same = FIDAccumulator(features_fn=fid.features_fn)
+    same.add_real(real)
+    same.add_fake(real)
+    assert fid.compute() > same.compute()
