@@ -130,6 +130,17 @@ class DiscriminatorConfig:
     d_activation: str = "leakyrelu-0.2"
     d_obj_arch: str = "C4-64-2,C4-128-2,C4-256-2"
     crop_size: int = 32
+    # Compute dtype for the three discriminators + the VGG perceptual
+    # features (params stay f32; losses accumulate in f32). bf16 is the
+    # TPU-native choice; the generator's training dtype is governed
+    # separately by ModelConfig.compute_dtype.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def jax_compute_dtype(self):
+        import jax.numpy as jnp
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                "float16": jnp.float16}[self.compute_dtype]
 
 
 @dataclass(frozen=True)

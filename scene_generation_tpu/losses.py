@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 
 def _masked_mean(x: jax.Array, w: Optional[jax.Array]) -> jax.Array:
+    x = x.astype(jnp.float32)  # losses accumulate in f32 (bf16 nets)
     if w is None:
         return jnp.mean(x)
     w = jnp.broadcast_to(w.reshape(w.shape + (1,) * (x.ndim - w.ndim)),

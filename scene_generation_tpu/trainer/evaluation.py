@@ -20,6 +20,14 @@ from scene_generation_tpu.trainer.train_state import Modules, TrainState
 
 
 def make_eval_step(mods: Modules, use_gt: bool):
+    # Cache per (mods, use_gt): check_model runs every checkpoint interval
+    # and must not recompile each time.
+    cache = getattr(mods, "_eval_step_cache", None)
+    if cache is None:
+        cache = {}
+        mods._eval_step_cache = cache
+    if use_gt in cache:
+        return cache[use_gt]
     mc = mods.cfg.model
 
     @jax.jit
@@ -41,6 +49,7 @@ def make_eval_step(mods: Modules, use_gt: bool):
                                     mask)
         return out.imgs_pred, iou_sum, r05, r03, jnp.sum(mask)
 
+    cache[use_gt] = eval_step
     return eval_step
 
 

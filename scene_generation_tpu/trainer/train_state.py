@@ -30,18 +30,20 @@ class Modules:
     def __init__(self, cfg: Config):
         mc, dc = cfg.model, cfg.discriminator
         self.cfg = cfg
+        ddtype = dc.jax_compute_dtype
         self.model = SceneModel(mc)
         self.d_img = MultiscaleDiscriminator(
             ndf=dc.ndf, n_layers=dc.n_layers_d, norm=dc.norm_d,
-            use_sigmoid=dc.no_lsgan, num_d=dc.num_d)
+            use_sigmoid=dc.no_lsgan, num_d=dc.num_d, dtype=ddtype)
         self.d_obj = AcCropDiscriminator(
             num_objects=mc.num_objs, object_size=dc.crop_size,
             arch=dc.d_obj_arch, normalization=dc.d_normalization,
-            activation=dc.d_activation, padding=dc.d_padding)
+            activation=dc.d_activation, padding=dc.d_padding, dtype=ddtype)
         self.d_mask = MultiscaleMaskDiscriminator(
             ndf=dc.ndf_mask, n_layers=dc.n_layers_d_mask, norm=dc.norm_d_mask,
-            use_sigmoid=dc.no_lsgan, num_d=dc.num_d_mask)
-        self.vgg = Vgg19Features() if cfg.loss.vgg_features_weight > 0 else None
+            use_sigmoid=dc.no_lsgan, num_d=dc.num_d_mask, dtype=ddtype)
+        self.vgg = (Vgg19Features(dtype=ddtype)
+                    if cfg.loss.vgg_features_weight > 0 else None)
 
     def optimizers(self) -> Tuple[optax.GradientTransformation, ...]:
         t = self.cfg.train

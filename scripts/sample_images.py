@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument("--use_gt_attr", type=int, default=0)
     p.add_argument("--use_gt_textures", type=int, default=0)
     p.add_argument("--sample_attributes", type=int, default=0)
+    p.add_argument("--accuracy_model_path", default=None,
+                   help="orbax checkpoint from train_accuracy_net.py")
+    p.add_argument("--accuracy_tiny", type=int, default=0,
+                   help="accuracy net was trained with --tiny")
+    p.add_argument("--accuracy_crop_size", type=int, default=224)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--save_dir", default="samples")
@@ -87,7 +92,34 @@ def main():
     os.makedirs(a.save_dir, exist_ok=True)
     rng = np.random.RandomState(a.seed)
 
+    # Optional object-classification accuracy of generated crops
+    # (reference sample_images.py:224-239).
+    accuracy_fn = None
+    if a.accuracy_model_path:
+        import jax
+        import orbax.checkpoint as ocp
+        from scene_generation_tpu.models.resnet import ResNet, resnet101
+        from scene_generation_tpu.ops.crop import crop_bbox_batch
+        num_classes = model.cfg.model.num_objs
+        acc_crop = 32 if a.accuracy_tiny else a.accuracy_crop_size
+        net = (ResNet(stage_sizes=(1, 1, 1, 1), num_classes=num_classes)
+               if a.accuracy_tiny else resnet101(num_classes))
+        acc_vars = ocp.PyTreeCheckpointer().restore(
+            os.path.abspath(a.accuracy_model_path))
+
+        @jax.jit
+        def accuracy_fn(variables, imgs, boxes, objs, obj_mask):
+            n, o = objs.shape
+            crops = crop_bbox_batch(imgs, boxes, acc_crop).reshape(
+                n * o, acc_crop, acc_crop, 3)
+            logits = net.apply(variables, crops, train=False)
+            labels = objs.reshape(n * o)
+            w = obj_mask.reshape(n * o) * (labels != 0)
+            correct = (jnp.argmax(logits, -1) == labels) * w
+            return jnp.sum(correct), jnp.sum(w)
+
     total_iou = total_boxes = total_r05 = total_r03 = 0.0
+    total_correct = total_classified = 0.0
     saved = 0
     for batch in loader:
         if a.use_gt_textures:
@@ -101,6 +133,12 @@ def main():
             use_gt_attributes=bool(a.use_gt_attr or a.sample_attributes),
             features=features)
         mask = batch.obj_mask * (batch.objs != 0)
+        if accuracy_fn is not None:
+            correct, classified = accuracy_fn(
+                acc_vars, out.imgs_pred, jnp.asarray(batch.boxes),
+                jnp.asarray(batch.objs), jnp.asarray(batch.obj_mask))
+            total_correct += float(correct)
+            total_classified += float(classified)
         iou, r05, r03 = jaccard(out.boxes_pred, jnp.asarray(batch.boxes),
                                 jnp.asarray(mask))
         total_iou += float(iou)
@@ -141,6 +179,9 @@ def main():
     nb = max(total_boxes, 1.0)
     results = {"avg_iou": total_iou / nb, "recall@0.5": total_r05 / nb,
                "recall@0.3": total_r03 / nb, "num_images": saved}
+    if accuracy_fn is not None:
+        results["object_accuracy"] = (
+            total_correct / max(total_classified, 1.0))
     print(json.dumps(results))
     with open(os.path.join(a.save_dir, "results.json"), "w") as f:
         json.dump(results, f)
