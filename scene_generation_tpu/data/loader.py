@@ -56,8 +56,18 @@ class DataLoader:
                     if stop.is_set():
                         return
                     examples = list(pool.map(self.dataset.__getitem__, idxs))
-                    q.put(collate(examples, self.max_objs, self.max_triples))
-            q.put(None)
+                    batch = collate(examples, self.max_objs, self.max_triples)
+                    # Bounded put that honors stop: a blocking q.put would
+                    # wedge this thread (and the executor's atexit join,
+                    # hanging process exit) when the consumer breaks early.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.25)
+                            break
+                        except queue.Full:
+                            continue
+            if not stop.is_set():
+                q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

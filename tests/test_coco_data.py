@@ -120,3 +120,18 @@ def test_panoptic_dataset(tmp_path_factory):
     # the whole dataset works.
     for i in range(len(dset)):
         dset[i]
+
+
+def test_loader_early_break_does_not_hang(dset):
+    """Breaking mid-epoch must not wedge the producer thread (the executor's
+    atexit join would then hang process exit)."""
+    import time
+    loader = DataLoader(dset, batch_size=2, max_objs=9, max_triples=16,
+                        num_workers=2, seed=1)
+    t0 = time.time()
+    for i, _ in enumerate(loader):
+        if i == 0:
+            break
+    # Re-iterating immediately works and the break was instant.
+    assert time.time() - t0 < 5
+    assert sum(1 for _ in loader) == len(dset) // 2
