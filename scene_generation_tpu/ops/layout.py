@@ -56,8 +56,8 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
       test_mode: if True use occlusion-ordered compositing (layout.py:157-169)
         instead of summation over objects (layout.py:149-155).
       backend: 'xla' | 'pallas' | 'auto'. 'auto' picks the fused Pallas
-        kernel for the inference path on TPU (16x faster there); the train
-        path stays on XLA, whose autodiff provides the backward pass.
+        kernels on TPU (inference: fused occlusion compositor; training:
+        custom-VJP forward/backward pair) and XLA elsewhere.
 
     Returns:
       (N, H, W, D) layout (NHWC; the reference returns NCHW).
@@ -66,8 +66,7 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
         w = h
     dtype = vecs.dtype
     if backend == "auto":
-        backend = ("pallas" if test_mode
-                   and jax.default_backend() == "tpu" else "xla")
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         return _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
                                        test_mode)
@@ -115,13 +114,18 @@ def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode):
     zero invalid slots, build interpolation matrices, and (test mode) sort
     objects by ascending sampled mass — the kernel composites in order."""
     from scene_generation_tpu.ops.pallas.compositor import (
-        masks_to_layout_pallas)
+        compose_train, masks_to_layout_pallas)
     dtype = vecs.dtype
     m = masks.shape[-1]
     valid = obj_mask.astype(dtype)
     masks = masks.astype(dtype) * valid[:, :, None, None]
     vecs = vecs * valid[..., None]
     ry, rx = box_sample_matrices(boxes.astype(dtype), h, w, m)
+
+    if not test_mode:
+        # Differentiable fused path: custom-VJP kernel pair; gradients
+        # w.r.t. boxes flow through the jax-level ry/rx construction.
+        return compose_train(False, 16, vecs, ry, rx, masks)
 
     if test_mode:
         # mass of vec (x) sampled mask = sum(vec) * sum(sampled); the sum of

@@ -67,3 +67,52 @@ def test_uneven_tile_height_falls_back():
     want = masks_to_layout(vecs, boxes, masks, obj_mask, 24, 24)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4,
                                rtol=1e-4)
+
+
+class TestCustomVJP:
+    """Train-path kernel pair: forward + gradient parity with the XLA path
+    (interpret mode)."""
+
+    def _inputs(self, seed=0):
+        vecs, boxes, masks, obj_mask, h, w = _case(seed)
+        dtype = vecs.dtype
+        valid = obj_mask.astype(dtype)
+        masks_z = masks.astype(dtype) * valid[:, :, None, None]
+        vecs_z = vecs * valid[..., None]
+        ry, rx = box_sample_matrices(boxes, h, w, masks.shape[-1])
+        return vecs, boxes, masks, obj_mask, vecs_z, ry, rx, masks_z, h, w
+
+    def test_forward_matches(self):
+        from scene_generation_tpu.ops.pallas.compositor import compose_train
+        (vecs, boxes, masks, obj_mask, vecs_z, ry, rx, masks_z,
+         h, w) = self._inputs()
+        got = compose_train(True, 8, vecs_z, ry, rx, masks_z)
+        want = masks_to_layout(vecs, boxes, masks, obj_mask, h, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, rtol=1e-4)
+
+    def test_gradients_match_xla(self):
+        from scene_generation_tpu.ops.pallas.compositor import compose_train
+        (vecs, boxes, masks, obj_mask, *_rest) = self._inputs(1)
+        h, w = 32, 32
+        m = masks.shape[-1]
+        dtype = vecs.dtype
+
+        def pallas_loss(vecs, boxes, masks):
+            valid = obj_mask.astype(dtype)
+            mk = masks.astype(dtype) * valid[:, :, None, None]
+            vz = vecs * valid[..., None]
+            ry, rx = box_sample_matrices(boxes, h, w, m)
+            out = compose_train(True, 8, vz, ry, rx, mk)
+            return jnp.sum(out * out)
+
+        def xla_loss(vecs, boxes, masks):
+            out = masks_to_layout(vecs, boxes, masks, obj_mask, h, w)
+            return jnp.sum(out * out)
+
+        gp = jax.grad(pallas_loss, argnums=(0, 1, 2))(vecs, boxes, masks)
+        gx = jax.grad(xla_loss, argnums=(0, 1, 2))(vecs, boxes, masks)
+        for a, b, name in zip(gp, gx, ("vecs", "boxes", "masks")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
+                err_msg=f"grad mismatch: {name}")
