@@ -257,17 +257,37 @@ def main(argv=None):
                 print(f"profiler trace written to {a.profile_dir}")
 
             if t % cfg.train.print_every == 0 or t == 1:
-                metrics = {k: float(v) for k, v in metrics.items()}
+                index = t // cfg.train.print_every
+                scalars = {k: float(v) for k, v in metrics.items()
+                           if not k.startswith("_")}
                 rate = t / (time.time() - t_start)
                 print(f"t = {t} / {cfg.train.num_iterations} "
                       f"({rate:.2f} it/s)")
-                for name, val in sorted(metrics.items()):
+                for name, val in sorted(scalars.items()):
                     print(f"  [{name}]: {val:.4f}")
                     meta["losses"].setdefault(name, []).append(val)
                     if writer:
-                        writer.add_scalar(f"g_loss/{name}", val,
-                                          t // cfg.train.print_every)
+                        writer.add_scalar(f"g_loss/{name}", val, index)
                 meta["losses_ts"].append(t)
+                if writer:
+                    # Image grids (reference write_images,
+                    # trainer.py:370-392); CHW uint8 for tensorboardX.
+                    from scene_generation_tpu.data.image_utils import deprocess
+                    from scene_generation_tpu.vis import one_hot_to_rgb
+                    real = deprocess(np.asarray(batch.imgs[0]))
+                    pred = deprocess(np.asarray(metrics["_imgs_pred"][0]))
+                    writer.add_image("img/real", real.transpose(2, 0, 1),
+                                     index)
+                    writer.add_image("img/pred", pred.transpose(2, 0, 1),
+                                     index)
+                    lay = one_hot_to_rgb(
+                        np.asarray(metrics["_layout_one_hot"][:1]))[0]
+                    writer.add_image("img/layout", lay.transpose(2, 0, 1),
+                                     index)
+                    lay_p = one_hot_to_rgb(
+                        np.asarray(metrics["_layout_pred_one_hot"][:1]))[0]
+                    writer.add_image("img/layout_pred",
+                                     lay_p.transpose(2, 0, 1), index)
 
             if t % cfg.train.checkpoint_every == 0:
                 print("checking on train/val")

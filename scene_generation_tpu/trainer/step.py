@@ -257,4 +257,12 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
         d_mask_params=d_mask_params, opt_d_mask=opt_d_mask_state,
         pool=pool)
     metrics["use_gt"] = use_gt
+    # Underscore-prefixed entries are image tensors for periodic TensorBoard
+    # grids (reference write_images, trainer.py:370-392) — loggers must
+    # skip them when scalarizing. Device->host transfer only happens if the
+    # host actually fetches them.
+    metrics["_imgs_pred"] = imgs_pred_d
+    metrics["_layout_one_hot"] = layout_d[..., :mc.num_objs]
+    metrics["_layout_pred_one_hot"] = jax.lax.stop_gradient(
+        out.layout_pred)[..., :mc.num_objs]
     return new_state, metrics

@@ -127,15 +127,21 @@ def main():
         else:
             features = model.sample_cluster_features(batch.objs,
                                                      batch.obj_mask, rng)
+        # Attributes are zeroed unless --use_gt_attr, regardless of
+        # sampling mode (reference sample_images.py:216-217).
         out = model.forward_batch(
             batch, use_gt_boxes=bool(a.use_gt_boxes),
             use_gt_masks=bool(a.use_gt_masks),
-            use_gt_attributes=bool(a.use_gt_attr or a.sample_attributes),
+            use_gt_attributes=bool(a.use_gt_attr),
             features=features)
         mask = batch.obj_mask * (batch.objs != 0)
         if accuracy_fn is not None:
+            # Crops come from GT boxes only under --use_gt_boxes
+            # (reference sample_images.py:225-228).
+            acc_boxes = (jnp.asarray(batch.boxes) if a.use_gt_boxes
+                         else out.boxes_pred)
             correct, classified = accuracy_fn(
-                acc_vars, out.imgs_pred, jnp.asarray(batch.boxes),
+                acc_vars, out.imgs_pred, acc_boxes,
                 jnp.asarray(batch.objs), jnp.asarray(batch.obj_mask))
             total_correct += float(correct)
             total_classified += float(classified)

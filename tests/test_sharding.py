@@ -31,6 +31,8 @@ def test_data_parallel_train_step():
     step = make_train_step(mods, donate=False)
     new_state, metrics = step(state, sharded)
     for k, v in metrics.items():
+        if k.startswith("_"):
+            continue
         assert np.isfinite(float(v)), k
     assert int(new_state.step) == 1
 
@@ -50,5 +52,7 @@ def test_sharded_matches_single_device():
     _, m_shard = step(state_r, shard_batch(jax.tree.map(jnp.asarray, batch),
                                            mesh))
     for k in m_single:
+        if k.startswith("_"):
+            continue
         np.testing.assert_allclose(float(m_single[k]), float(m_shard[k]),
                                    rtol=2e-3, atol=1e-5, err_msg=k)

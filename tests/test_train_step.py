@@ -32,6 +32,8 @@ def test_step_counter_and_finiteness(trained):
     assert int(states[-1].step) == 3
     for m in metrics:
         for k, v in m.items():
+            if k.startswith("_"):
+                continue
             assert np.isfinite(float(v)), f"{k} not finite"
 
 
