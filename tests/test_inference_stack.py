@@ -151,3 +151,33 @@ def test_gui_server(ckpt_dir):
         assert raised
     finally:
         server.shutdown()
+
+
+def test_batch_serving_api(ckpt_dir):
+    """POST /generate JSON contract (scene_generation_tpu/serve.py)."""
+    import base64
+    from http.server import HTTPServer
+    from scene_generation_tpu.serve import Server, make_handler
+
+    srv = Server(ckpt_dir)
+    httpd = HTTPServer(("127.0.0.1", 0), make_handler(srv))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        h = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30).read())
+        assert h["status"] == "ok"
+        payload = json.dumps({"scene_graphs": [{
+            "objects": ["class_1", "class_2", "class_3"],
+            "relationships": [[0, "left of", 1]],
+            "attributes": {"size": [4, 5, 3], "location": [6, 12, 18]},
+            "features": [-1, -1, -1], "image_id": 0}]}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=payload,
+            headers={"Content-Type": "application/json"})
+        r = json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert base64.b64decode(r["images"][0])[:4] == b"\x89PNG"
+        assert len(r["boxes_pred"][0]) == 4  # 3 objects + __image__
+    finally:
+        httpd.shutdown()
