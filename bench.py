@@ -43,8 +43,12 @@ def build_forward():
     from scene_generation_tpu.models import SceneModel
 
     cfg = Config()
+    # scan_blocks=True compiles ~6x faster at ~8% throughput cost; the
+    # remote compiler is flaky enough on cold caches that reliability wins
+    # for the recorded benchmark (unrolled serving measured 1097 img/s
+    # pre-Pallas vs 998 scanned; with the Pallas compositor 1407 unrolled).
     cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bfloat16", scan_blocks=False))
+        cfg.model, compute_dtype="bfloat16", scan_blocks=True))
     mc = cfg.model
     batch = synthetic_batch(cfg, seed=0, batch_size=BATCH)
     model = SceneModel(mc)

@@ -84,6 +84,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     # Multi-host: initialize jax.distributed before device discovery so the
     # mesh spans the slice (ICI) / slices (DCN).
     p.add_argument("--distributed", action="store_true")
+    # Reference runs an initial check_model before training
+    # (train.py:178-184); off by default here to keep smoke runs fast.
+    p.add_argument("--initial_eval", type=int, default=0)
     # Inception score during check_model (random-init InceptionV3 unless a
     # torchvision checkpoint is available; see models/inception.py).
     p.add_argument("--eval_inception", action="store_true")
@@ -237,6 +240,15 @@ def main(argv=None):
 
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
+
+    if a.initial_eval:
+        tr = check_model(mods, state, iter(val_loader), use_gt=True,
+                         num_samples=cfg.data.num_val_samples,
+                         probs_fn=probs_fn)
+        print(f"initial: iou {tr[0]:.4f} inception {tr[1]:.4f}")
+        if writer:
+            writer.add_scalar("checkpoint/train_iou", tr[0], 0)
+            writer.add_scalar("checkpoint/train_inception_mean", tr[1], 0)
 
     print(f"training on {mesh.devices.size} device(s); "
           f"{cfg.train.num_iterations} iterations")
