@@ -149,7 +149,9 @@ class CocoSceneGraphDataset:
         self.object_to_idx = object_to_idx
         self.idx_to_object = {v: k for k, v in object_to_idx.items()}
         self.vocab["object_to_idx"] = object_to_idx
-        self.vocab["my_idx_to_obj"] = [
+        # Indexed by CONTIGUOUS class id (0 = __image__); the reference's
+        # list omits the 0 slot and is 1-off (coco.py:203).
+        self.vocab["my_idx_to_obj"] = ["__image__"] + [
             self.vocab["object_idx_to_name"][cid] for cid in observed]
 
         self.vocab["pred_idx_to_name"] = ["__in_image__"] + PREDICATES

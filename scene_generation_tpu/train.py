@@ -47,6 +47,7 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--coco_dir", type=str, default="datasets/coco")
     p.add_argument("--synthetic", action="store_true",
                    help="procedural dataset; no COCO files needed")
+    p.add_argument("--is_panoptic", type=int, default=0)
     p.add_argument("--synthetic_size", type=int, default=512)
     p.add_argument("--tiny", action="store_true",
                    help="tiny architecture (CI/smoke)")
@@ -152,6 +153,28 @@ def build_datasets(cfg: Config, a: argparse.Namespace):
                   stuff_whitelist=d.stuff_whitelist,
                   include_other=d.include_other)
     cdir = a.coco_dir
+    if a.is_panoptic:
+        from scene_generation_tpu.data.coco_panoptic import (
+            CocoPanopticSceneGraphDataset)
+        cats = os.path.join(cdir,
+                            "annotations/panoptic_coco_categories.json")
+        train = CocoPanopticSceneGraphDataset(
+            image_dir=os.path.join(cdir, "images/train2017"),
+            panoptic=os.path.join(
+                cdir, "annotations/panoptic_train2017.json"),
+            panoptic_segmentation=os.path.join(
+                cdir, "panoptic/annotations/panoptic_train2017"),
+            panoptic_categories=cats, max_samples=d.num_train_samples,
+            seed=cfg.train.seed, **common)
+        val = CocoPanopticSceneGraphDataset(
+            image_dir=os.path.join(cdir, "images/val2017"),
+            panoptic=os.path.join(cdir, "annotations/panoptic_val2017.json"),
+            panoptic_segmentation=os.path.join(
+                cdir, "panoptic/annotations/panoptic_val2017"),
+            panoptic_categories=cats, max_samples=d.num_val_samples,
+            seed=cfg.train.seed, **common)
+        assert train.vocab["object_to_idx"] == val.vocab["object_to_idx"]
+        return train.vocab, train, val
     train = CocoSceneGraphDataset(
         image_dir=os.path.join(cdir, "images/train2017"),
         instances_json=os.path.join(

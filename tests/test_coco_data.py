@@ -135,3 +135,47 @@ def test_loader_early_break_does_not_hang(dset):
     # Re-iterating immediately works and the break was instant.
     assert time.time() - t0 < 5
     assert sum(1 for _ in loader) == len(dset) // 2
+
+
+def test_attribute_sampling_mode(tmp_path_factory):
+    """sample_attributes mode: per-class histogram sampling + constraint
+    propagation between related objects (coco.py:419-472)."""
+    import pickle
+    root = tmp_path_factory.mktemp("coco_attr")
+    paths = make_fake_coco(str(root), num_images=6)
+
+    base = CocoSceneGraphDataset(
+        image_dir=paths["image_dir"], instances_json=paths["instances_json"],
+        stuff_json=paths["stuff_json"], image_size=(64, 64), mask_size=16,
+        min_object_size=0.01, min_objects_per_image=2, seed=0)
+    # Build the attributes pickle the way create_attributes_file does.
+    size_hist, loc_hist = {}, {}
+    for i in range(len(base)):
+        ex = base[i]
+        for j in range(len(ex.objs)):
+            cls = int(ex.objs[j])
+            if cls == 0:
+                continue
+            name = base.vocab["my_idx_to_obj"][cls]
+            size_hist.setdefault(name, np.zeros(10))
+            loc_hist.setdefault(name, np.zeros(25))
+            size_hist[name] += ex.attributes[j, :10]
+            loc_hist[name] += ex.attributes[j, 10:]
+    pkl = str(root / "attributes_10_25.pickle")
+    with open(pkl, "wb") as f:
+        pickle.dump({"size": {k: (v + 1).tolist()
+                              for k, v in size_hist.items()},
+                     "location": {k: (v + 1).tolist()
+                                  for k, v in loc_hist.items()}}, f)
+
+    dset = CocoSceneGraphDataset(
+        image_dir=paths["image_dir"], instances_json=paths["instances_json"],
+        stuff_json=paths["stuff_json"], image_size=(64, 64), mask_size=16,
+        min_object_size=0.01, min_objects_per_image=2,
+        sample_attributes=True, attributes_pickle=pkl, seed=0)
+    np.random.seed(0)
+    for i in range(len(dset)):
+        ex = dset[i]
+        # Every real object ends with exactly one size and location bit.
+        assert np.all(ex.attributes[:, :10].sum(1) == 1), i
+        assert np.all(ex.attributes[:, 10:].sum(1) == 1), i
