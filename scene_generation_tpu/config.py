@@ -91,6 +91,11 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Scan identical resblocks (fast compiles) vs unroll (max throughput).
     scan_blocks: bool = True
+    # Compositor backend for the TRAIN path: 'xla' (default; autodiff'd,
+    # hardware-proven) or 'auto' (custom-VJP Pallas kernels on TPU —
+    # gradient-parity tested in interpret mode; flip the default once
+    # validated on hardware). The inference path always uses 'auto'.
+    train_compositor_backend: str = "xla"
 
     @property
     def jax_compute_dtype(self):

@@ -166,20 +166,21 @@ class SceneModel(nn.Module):
 
         # Train: image is generated from the GT layout; predicted boxes and
         # masks train only through their own losses (model.py:119-123).
+        backend = cfg.train_compositor_backend
         with jax.named_scope("compositor"):
             layout = masks_to_layout(layout_vecs, boxes_gt, masks_gt,
                                      obj_mask, h, w, test_mode=False,
-                                     backend="auto")
+                                     backend=backend)
             layout_pred = masks_to_layout(layout_vecs, boxes_gt, masks_pred,
                                           obj_mask, h, w, test_mode=False,
-                                          backend="auto")
+                                          backend=backend)
             if wrong_rep is None:
                 wrong_rep = obj_repr
             wrong_vecs = jnp.concatenate(
                 [one_hot, wrong_rep.astype(obj_repr.dtype)], axis=-1)
             layout_wrong = masks_to_layout(wrong_vecs, boxes_gt, masks_gt,
                                            obj_mask, h, w, test_mode=False,
-                                           backend="auto")
+                                           backend=backend)
         with jax.named_scope("generator"):
             imgs_pred = self.layout_to_image(layout).astype(jnp.float32)
         return ModelOutput(imgs_pred, boxes_pred, masks_pred,

@@ -165,7 +165,7 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
         [one_hot_flat.reshape(n, o, mc.num_objs),
          wrong_rep.reshape(n, o, mc.rep_size)], axis=-1)
     layout_wrong = masks_to_layout(wrong_vecs, boxes, masks, obj_mask, h, w,
-                                   backend="auto")
+                                   backend=mc.train_compositor_backend)
 
     # ------------------------------------------------------------------
     # 3. D_mask update (trainer.py:281-300).
