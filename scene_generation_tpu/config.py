@@ -96,6 +96,8 @@ class ModelConfig:
     # gradient-parity tested in interpret mode; flip the default once
     # validated on hardware). The inference path always uses 'auto'.
     train_compositor_backend: str = "xla"
+    # Rematerialize generator resblocks in backward (memory for FLOPs).
+    remat_generator: bool = False
 
     @property
     def jax_compute_dtype(self):

@@ -78,6 +78,23 @@ def pad_example(ex: Example, max_objs: int, max_triples: int):
     return objs, boxes, masks, triples, attributes, obj_mask, triple_mask
 
 
+def split_batch(batch: Batch) -> List[Example]:
+    """Inverse of collate: unpad a Batch back into ragged Examples
+    (reference ``split_graph_batch``, data/utils.py:73-100)."""
+    out = []
+    for i in range(batch.num_images):
+        o = int(batch.obj_mask[i].sum())
+        t = int(batch.triple_mask[i].sum())
+        out.append(Example(
+            image=batch.imgs[i],
+            objs=batch.objs[i][:o],
+            boxes=batch.boxes[i][:o],
+            masks=batch.masks[i][:o],
+            triples=batch.triples[i][:t],
+            attributes=batch.attributes[i][:o]))
+    return out
+
+
 def collate(examples: Sequence[Example], max_objs: int,
             max_triples: int) -> Batch:
     """Stack padded examples into a Batch (device-ready numpy)."""

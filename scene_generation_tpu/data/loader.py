@@ -79,3 +79,25 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+
+
+def device_prefetch(iterator, sharding=None, depth: int = 2):
+    """Overlap host->device transfer with compute: device_put the next
+    ``depth`` batches while the current one runs (transfers are async)."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is None:
+            return jax.tree.map(jax.device_put, batch)
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -87,6 +87,11 @@ class GlobalGenerator(nn.Module):
     # compiles; default for training); scan=False unrolls for ~10% more
     # runtime throughput (serving).
     scan_blocks: bool = True
+    # Rematerialize resblock activations in the backward pass: trades
+    # ~1/3 more resblock FLOPs for O(1) instead of O(n_blocks) activation
+    # memory at the 1024-channel bottleneck — the training memory peak
+    # (SURVEY.md §7 "donated buffers ... memory peak").
+    remat: bool = False
     dtype: Optional[object] = None
 
     @nn.compact
@@ -117,7 +122,8 @@ class GlobalGenerator(nn.Module):
                     return ResnetBlock(self.features, dtype=self.dtype,
                                        name="block")(carry), None
 
-            scanned = nn.scan(_Body, variable_axes={"params": 0},
+            body = nn.remat(_Body) if self.remat else _Body
+            scanned = nn.scan(body, variable_axes={"params": 0},
                               split_rngs={"params": True},
                               length=self.n_blocks)
             h, _ = scanned(self.ngf * mult, dtype=self.dtype,

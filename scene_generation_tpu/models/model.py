@@ -79,7 +79,7 @@ class SceneModel(nn.Module):
             output_nc=cfg.output_nc, ngf=cfg.ngf,
             n_downsampling=cfg.n_downsample_global,
             n_blocks=cfg.n_blocks_global, scan_blocks=cfg.scan_blocks,
-            dtype=dtype)
+            remat=cfg.remat_generator, dtype=dtype)
 
     def __call__(self,
                  objs: jax.Array,

@@ -23,7 +23,7 @@ import numpy as np
 
 from scene_generation_tpu.config import (Config, DataConfig, LossConfig,
                                          ModelConfig, TrainConfig, tiny_config)
-from scene_generation_tpu.data.loader import DataLoader
+from scene_generation_tpu.data.loader import DataLoader, device_prefetch
 from scene_generation_tpu.data.synthetic import SyntheticDataset
 from scene_generation_tpu.parallel import (create_mesh, replicate_state,
                                            shard_batch)
@@ -278,14 +278,15 @@ def main(argv=None):
     t_start = time.time()
     while t < cfg.train.num_iterations:
         epoch += 1
-        for batch in train_loader:
+        from scene_generation_tpu.parallel import batch_sharding
+        prefetched = device_prefetch(train_loader, batch_sharding(mesh))
+        for batch in prefetched:
             if t >= cfg.train.num_iterations or stop_requested["flag"]:
                 break
             t += 1
             if a.profile_dir and t == a.profile_start:
                 jax.profiler.start_trace(a.profile_dir)
-            sharded = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
-            state, metrics = step_fn(state, sharded)
+            state, metrics = step_fn(state, batch)
             if a.profile_dir and t == a.profile_start + a.profile_steps:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()

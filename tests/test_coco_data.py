@@ -179,3 +179,23 @@ def test_attribute_sampling_mode(tmp_path_factory):
         # Every real object ends with exactly one size and location bit.
         assert np.all(ex.attributes[:, :10].sum(1) == 1), i
         assert np.all(ex.attributes[:, 10:].sum(1) == 1), i
+
+
+def test_split_batch_roundtrip(dset):
+    from scene_generation_tpu.data.batching import split_batch
+    examples = [dset[i] for i in range(3)]
+    batch = collate(examples, max_objs=9, max_triples=16)
+    back = split_batch(batch)
+    for orig, rec in zip(examples, back):
+        np.testing.assert_array_equal(orig.objs, rec.objs)
+        np.testing.assert_allclose(orig.boxes, rec.boxes)
+        np.testing.assert_array_equal(orig.triples, rec.triples)
+
+
+def test_device_prefetch_order():
+    from scene_generation_tpu.data.loader import device_prefetch
+    batches = [np.full((2, 2), i) for i in range(5)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b)[0, 0]) == i
