@@ -160,8 +160,11 @@ class InferenceModel:
 
         for sg in scene_graphs:
             names = list(sg["objects"]) + ["__image__"]
+            # The __image__ node's appearance cluster is selected by the
+            # GUI's image_id field — the background style (model.py:211).
             feature_ids = list(sg.get("features",
-                                      [-1] * (len(names) - 1))) + [-1]
+                                      [-1] * (len(names) - 1)))
+            feature_ids = feature_ids + [int(sg.get("image_id", -1))]
             o = len(names)
             objs = np.asarray(
                 [obj_to_idx[int(name_to_global[nm])] for nm in names],

@@ -89,6 +89,11 @@ document.getElementById('size').oninput = e => {
 document.getElementById('feature').oninput = e => {
   if (selected) { selected.feature = +e.target.value; maybeRender(); }
 };
+let backgroundStyle = -1;  // __image__ node's appearance cluster
+document.getElementById('background').oninput = e => {
+  backgroundStyle = +e.target.value;
+  maybeRender();
+};
 document.getElementById('render').onclick = () => render();
 
 // Reference behavior: re-render on every edit once >= 3 objects
@@ -108,7 +113,7 @@ function render() {
   const status = document.getElementById('status');
   status.textContent = 'rendering…';
   const scene = {
-    image_id: 0,
+    image_id: backgroundStyle,
     objects: objects.map(o => {
       const left = o.el.offsetLeft / SIZE, top = o.el.offsetTop / SIZE;
       const width = o.el.offsetWidth / SIZE,
