@@ -351,6 +351,7 @@ def main(argv=None):
     meta["counters"] = {"t": t, "epoch": epoch}
     ckpt.save(state, best=False)
     ckpt.save_meta(meta)
+    ckpt.wait()  # let the async writer land before exiting
     if stop_requested["flag"]:
         print(f"preempted: checkpointed at t={t}; resume with "
               f"--restore_from_checkpoint 1")

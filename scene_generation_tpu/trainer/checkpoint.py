@@ -23,10 +23,18 @@ META_NAME = "meta.json"
 
 
 class CheckpointManager:
-    def __init__(self, output_dir: str, checkpoint_name: str = "checkpoint"):
+    def __init__(self, output_dir: str, checkpoint_name: str = "checkpoint",
+                 use_async: bool = True):
         self.root = os.path.abspath(os.path.join(output_dir, checkpoint_name))
         os.makedirs(self.root, exist_ok=True)
-        self._ckptr = ocp.PyTreeCheckpointer()
+        # Async serialization: training continues while the (multi-GB at
+        # default config) state streams out; waits are only taken before a
+        # conflicting save/restore or at shutdown.
+        if use_async:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        else:
+            self._ckptr = ocp.PyTreeCheckpointer()
+        self._async = use_async
 
     # --- metadata sidecar (args/vocab/history, train.py:132-147) ---
     @property
@@ -61,11 +69,17 @@ class CheckpointManager:
         }
 
     # --- state ---
+    def wait(self) -> None:
+        if self._async:
+            self._ckptr.wait_until_finished()
+
     def save(self, state, best: bool = False) -> None:
         path = os.path.join(self.root, "best" if best else "last")
+        self.wait()  # serialize with any in-flight save of the same dirs
         self._ckptr.save(path, jax.device_get(state), force=True)
 
     def restore(self, template, best: bool = False):
+        self.wait()
         path = os.path.join(self.root, "best" if best else "last")
         if not os.path.exists(path):
             return None
