@@ -7,10 +7,9 @@ checkpoint-rebuild pattern of ``scripts/sample_images.py:133-144``.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +17,6 @@ import numpy as np
 
 from scene_generation_tpu.config import Config
 from scene_generation_tpu.data.batching import Batch, Example, collate
-from scene_generation_tpu.data.scene_graph import PREDICATES
 from scene_generation_tpu.models.model import ModelOutput
 from scene_generation_tpu.trainer.checkpoint import CheckpointManager
 from scene_generation_tpu.trainer.train_state import (Modules, TrainState,

@@ -9,7 +9,7 @@ class-conditional 32x32 mask PatchGAN).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,18 +15,15 @@ import dataclasses
 import json
 import os
 import time
-from collections import defaultdict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from scene_generation_tpu.config import (Config, DataConfig, LossConfig,
                                          ModelConfig, TrainConfig, tiny_config)
 from scene_generation_tpu.data.loader import DataLoader, device_prefetch
 from scene_generation_tpu.data.synthetic import SyntheticDataset
-from scene_generation_tpu.parallel import (create_mesh, replicate_state,
-                                           shard_batch)
+from scene_generation_tpu.parallel import create_mesh, replicate_state
 from scene_generation_tpu.trainer.checkpoint import CheckpointManager
 from scene_generation_tpu.trainer.evaluation import check_model
 from scene_generation_tpu.trainer.step import make_train_step

@@ -7,7 +7,6 @@ Inception score. The inception classifier is pluggable: pass a callable
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional, Tuple
 
 import jax

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import optax
 
 from scene_generation_tpu import losses as L
-from scene_generation_tpu.config import Config
 from scene_generation_tpu.data.batching import Batch
 from scene_generation_tpu.ops.layout import masks_to_layout
 from scene_generation_tpu.trainer.pools import pool_query

@@ -7,7 +7,7 @@ betas (0.5, 0.999); trainer.py:60,80,106,133).
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
