@@ -91,11 +91,15 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Scan identical resblocks (fast compiles) vs unroll (max throughput).
     scan_blocks: bool = True
-    # Compositor backend for the TRAIN path: 'xla' (default; autodiff'd,
-    # hardware-proven) or 'auto' (custom-VJP Pallas kernels on TPU —
-    # gradient-parity tested in interpret mode; flip the default once
-    # validated on hardware). The inference path always uses 'auto'.
-    train_compositor_backend: str = "xla"
+    # Compositor backend for the TRAIN path: 'auto' (default) picks the
+    # custom-VJP Pallas kernel pair on TPU and the autodiff'd XLA path
+    # elsewhere. Hardware-validated on 1x v5e (scripts/
+    # validate_pallas_train.py): gradient parity vs XLA at highest matmul
+    # precision (max rel diff ~1e-5 on vecs/masks, 2e-7 on boxes) and
+    # first-step loss parity on the full adversarial step; 81.2 ms/step vs
+    # 83.9 xla (batch 12 f32, 1.034x). The inference path always uses
+    # 'auto'.
+    train_compositor_backend: str = "auto"
     # Rematerialize generator resblocks in backward (memory for FLOPs).
     remat_generator: bool = False
 

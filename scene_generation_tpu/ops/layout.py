@@ -41,7 +41,8 @@ def _sample_masks(boxes: jax.Array, masks: jax.Array, h: int, w: int):
 def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
                     obj_mask: jax.Array, h: int, w: Optional[int] = None,
                     test_mode: bool = False,
-                    backend: str = "xla") -> jax.Array:
+                    backend: str = "xla",
+                    interpret: bool = False) -> jax.Array:
     """Compose per-object vectors into a spatial layout tensor.
 
     Equivalent of reference ``masks_to_layout`` (``layout.py:64-93``) with
@@ -58,6 +59,8 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
       backend: 'xla' | 'pallas' | 'auto'. 'auto' picks the fused Pallas
         kernels on TPU (inference: fused occlusion compositor; training:
         custom-VJP forward/backward pair) and XLA elsewhere.
+      interpret: run the Pallas kernels in interpret mode (CPU testing of
+        the production prep path; ignored for the XLA backend).
 
     Returns:
       (N, H, W, D) layout (NHWC; the reference returns NCHW).
@@ -69,7 +72,7 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         return _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
-                                       test_mode)
+                                       test_mode, interpret)
     sampled = _sample_masks(boxes, masks.astype(dtype), h, w)   # (N,O,H,W)
     valid = obj_mask.astype(dtype)[:, :, None, None]
     sampled = sampled * valid
@@ -109,7 +112,8 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
                                obj_mask.astype(dtype))
 
 
-def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode):
+def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode,
+                            interpret=False):
     """Fused-kernel backend (ops/pallas/compositor.py). Host-side prep:
     zero invalid slots, build interpolation matrices, and (test mode) sort
     objects by ascending sampled mass — the kernel composites in order."""
@@ -125,7 +129,10 @@ def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode):
     if not test_mode:
         # Differentiable fused path: custom-VJP kernel pair; gradients
         # w.r.t. boxes flow through the jax-level ry/rx construction.
-        return compose_train(False, 16, vecs, ry, rx, masks)
+        # tile_h=8: the backward kernel's per-tile live set (g tile +
+        # per-object grads, all f32) exceeds the 16MB scoped-VMEM limit at
+        # tile_h=16 for production shapes (D=204, W=128, O=9).
+        return compose_train(interpret, 8, vecs, ry, rx, masks)
 
     if test_mode:
         # mass of vec (x) sampled mask = sum(vec) * sum(sampled); the sum of
@@ -140,7 +147,8 @@ def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode):
             x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
         vecs, ry, rx, masks = take(vecs), take(ry), take(rx), take(masks)
 
-    return masks_to_layout_pallas(vecs, ry, rx, masks, test_mode=test_mode)
+    return masks_to_layout_pallas(vecs, ry, rx, masks, test_mode=test_mode,
+                                  interpret=interpret)
 
 
 def boxes_to_layout(vecs: jax.Array, boxes: jax.Array, obj_mask: jax.Array,

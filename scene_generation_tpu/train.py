@@ -293,6 +293,26 @@ def main(argv=None):
                 index = t // cfg.train.print_every
                 scalars = {k: float(v) for k, v in metrics.items()
                            if not k.startswith("_")}
+                # NaN gate: GAN training diverges silently otherwise. The
+                # check rides the print_every readback (no extra sync). The
+                # last *good* checkpoint is left untouched; the poisoned
+                # state is dumped under a separate name for post-mortem.
+                bad = [k for k, v in scalars.items() if not np.isfinite(v)]
+                if bad:
+                    print(f"FATAL: non-finite losses at t={t}: {bad}")
+                    meta["counters"] = {"t": t, "epoch": epoch}
+                    meta["nan_abort"] = {"t": t, "keys": bad}
+                    nan_ckpt = CheckpointManager(
+                        cfg.train.output_dir,
+                        cfg.train.checkpoint_name + "_nan_abort")
+                    nan_ckpt.save(state, best=False)
+                    ckpt.save_meta(meta)
+                    nan_ckpt.wait()
+                    ckpt.wait()
+                    raise FloatingPointError(
+                        f"non-finite losses at t={t}: {bad}; last good "
+                        f"checkpoint preserved, poisoned state saved as "
+                        f"{cfg.train.checkpoint_name}_nan_abort")
                 rate = t / (time.time() - t_start)
                 print(f"t = {t} / {cfg.train.num_iterations} "
                       f"({rate:.2f} it/s)")

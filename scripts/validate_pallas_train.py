@@ -1,0 +1,201 @@
+"""Hardware validation of the custom-VJP Pallas train compositor.
+
+Run ON A REAL TPU. Two stages:
+
+  op    — forward + gradient parity of masks_to_layout(backend='pallas')
+          vs the XLA backend at the production shapes (N=12, O=9, D=204,
+          M=32, H=W=128), plus fwd and fwd+bwd timing for both backends.
+  step  — the FULL adversarial train step (trainer/step.py) with
+          ``train_compositor_backend`` 'pallas' vs 'xla' from identical
+          initial state: asserts finite + near-identical losses for the
+          first step, then times K chained steps per backend.
+
+Usage:
+  python scripts/validate_pallas_train.py [op|step|all]
+
+This is the evidence gate for flipping ``ModelConfig.
+train_compositor_backend`` to 'auto' (VERDICT round 1, item 2).
+"""
+import dataclasses
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def _op_case(n=12, o=9, d=204, m=32, h=128, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    vecs = rng.rand(n, o, d).astype(np.float32)
+    x0 = rng.uniform(0, .5, (n, o))
+    y0 = rng.uniform(0, .5, (n, o))
+    boxes = np.stack([x0, y0, x0 + rng.uniform(.2, .5, (n, o)),
+                      y0 + rng.uniform(.2, .5, (n, o))], -1).astype(np.float32)
+    masks = rng.rand(n, o, m, m).astype(np.float32)
+    obj_mask = np.ones((n, o), np.float32)
+    obj_mask[:, -1] = 0
+    return (jnp.asarray(vecs), jnp.asarray(boxes), jnp.asarray(masks),
+            jnp.asarray(obj_mask), h, w)
+
+
+def validate_op():
+    from scene_generation_tpu.ops.layout import masks_to_layout
+
+    vecs, boxes, masks, obj_mask, h, w = _op_case()
+    log(f"[op] backend={jax.default_backend()} shapes: vecs{vecs.shape} "
+        f"masks{masks.shape} -> layout({vecs.shape[0]},{h},{w},"
+        f"{vecs.shape[-1]})")
+
+    def make_fns(backend):
+        @jax.jit
+        def fwd(vecs, boxes, masks):
+            return masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
+                                   backend=backend)
+
+        @jax.jit
+        def loss_and_grad(vecs, boxes, masks, g_target):
+            def loss(v, b, mk):
+                out = masks_to_layout(v, b, mk, obj_mask, h, w,
+                                      backend=backend)
+                return jnp.sum(out * g_target)
+            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                vecs, boxes, masks)
+            return l, g
+        return fwd, loss_and_grad
+
+    # Non-trivial cotangent so every grad path is exercised.
+    g_target = jnp.asarray(
+        np.random.RandomState(7).randn(vecs.shape[0], h, w,
+                                       vecs.shape[-1]).astype(np.float32))
+
+    # Parity at HIGHEST matmul precision: the default TPU precision runs
+    # f32 matmuls as bf16 passes (~4e-3 relative noise) in BOTH backends,
+    # which would mask/flag nothing meaningful.
+    results = {}
+    with jax.default_matmul_precision("highest"):
+        for backend in ("xla", "pallas"):
+            fwd, lag = make_fns(backend)
+            out = fwd(vecs, boxes, masks)
+            l, g = lag(vecs, boxes, masks, g_target)
+            jax.block_until_ready((out, l, g))
+            results[backend] = (np.asarray(out), float(l),
+                                [np.asarray(x) for x in g])
+            log(f"[op] {backend}: fwd+grad computed, loss={float(l):.4f}")
+
+    # --- parity ---
+    np.testing.assert_allclose(results["pallas"][0], results["xla"][0],
+                               atol=2e-3, rtol=1e-3)
+    rel = abs(results["pallas"][1] - results["xla"][1]) / (
+        abs(results["xla"][1]) + 1e-8)
+    assert rel < 1e-4, f"loss mismatch rel={rel}"
+    for gp, gx, name in zip(results["pallas"][2], results["xla"][2],
+                            ("vecs", "boxes", "masks")):
+        scale = np.abs(gx).max() + 1e-8
+        max_abs = np.abs(gp - gx).max()
+        log(f"[op] grad({name}): max_abs_diff={max_abs:.3e} "
+            f"(scale {scale:.3e})")
+        assert max_abs < 5e-3 * scale, f"grad mismatch: {name}"
+    log("[op] PARITY OK (fwd + all grads)")
+
+    # --- timing: chain K dependent calls, one readback ---
+    def time_chain(fn, args, k=20, repeats=3):
+        ts = []
+        for _ in range(repeats):
+            a = args
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(k):
+                r = fn(*a)
+                # tie next call to this result (cheap, keeps it sequential)
+                first = r[0] if isinstance(r, tuple) else r
+                a = (args[0] + jnp.mean(first).astype(args[0].dtype) * 1e-9,
+                     ) + args[1:]
+            jax.block_until_ready(r)
+            ts.append((time.perf_counter() - t0) / k)
+        return min(ts)
+
+    for backend in ("xla", "pallas"):
+        fwd, lag = make_fns(backend)
+        t_f = time_chain(fwd, (vecs, boxes, masks))
+        t_fb = time_chain(lambda v, b, m: lag(v, b, m, g_target),
+                          (vecs, boxes, masks))
+        log(f"[op] {backend}: fwd {t_f*1e3:.3f} ms   fwd+bwd "
+            f"{t_fb*1e3:.3f} ms")
+    return True
+
+
+def validate_step(k_time=10):
+    from scene_generation_tpu.config import Config
+    from scene_generation_tpu.data import synthetic_batch
+    from scene_generation_tpu.trainer import create_train_state
+    from scene_generation_tpu.trainer.step import make_train_step
+
+    base = Config()
+    batch = synthetic_batch(base, seed=0)
+
+    def run(backend):
+        cfg = base.replace(model=dataclasses.replace(
+            base.model, train_compositor_backend=backend))
+        t0 = time.perf_counter()
+        mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                         load_vgg=False)
+        step = make_train_step(mods, donate=False)
+        state1, metrics = step(state, batch)
+        jax.block_until_ready(metrics)
+        log(f"[step] {backend}: first step done "
+            f"({time.perf_counter()-t0:.1f}s incl. init+compile)")
+        scal = {k: float(v) for k, v in metrics.items()
+                if not k.startswith("_")}
+        # timing: chain K steps (state feeds forward), single readback
+        ts = []
+        for _ in range(3):
+            s = state1
+            t0 = time.perf_counter()
+            m = None
+            for _ in range(k_time):
+                s, m = step(s, batch)
+            jax.block_until_ready(m["total_loss"])
+            ts.append((time.perf_counter() - t0) / k_time)
+        return scal, min(ts)
+
+    m_x, t_x = run("xla")
+    m_p, t_p = run("pallas")
+
+    bad = []
+    for k in sorted(m_x):
+        vx, vp = m_x[k], m_p[k]
+        if not (np.isfinite(vx) and np.isfinite(vp)):
+            bad.append((k, vx, vp, "non-finite"))
+            continue
+        diff = abs(vx - vp) / (abs(vx) + 1e-6)
+        tag = "" if diff < 5e-2 else "  <-- DIVERGES"
+        if tag:
+            bad.append((k, vx, vp, f"rel {diff:.3f}"))
+        log(f"[step] {k:>24s}: xla={vx:+.5f}  pallas={vp:+.5f}{tag}")
+    n = batch.imgs.shape[0]
+    log(f"[step] time/step: xla {t_x*1e3:.1f} ms ({n/t_x:.1f} img/s)   "
+        f"pallas {t_p*1e3:.1f} ms ({n/t_p:.1f} img/s)   "
+        f"speedup {t_x/t_p:.3f}x")
+    if bad:
+        log(f"[step] FAIL: {bad}")
+        return False
+    log("[step] PARITY OK (first-step losses match across backends)")
+    return True
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    ok = True
+    if what in ("op", "all"):
+        ok &= bool(validate_op())
+    if what in ("step", "all"):
+        ok &= bool(validate_step())
+    sys.exit(0 if ok else 1)
