@@ -1,17 +1,22 @@
-"""Benchmark: flagship inference throughput on the local accelerator.
+"""Benchmark: flagship throughput on the local accelerator.
 
-Measures the full test-mode pipeline (scene graph -> GCN -> boxes/masks ->
-occlusion-ordered layout composition -> pix2pixHD generator -> 128x128
-image) at the reference's default architecture (172 classes, 5 gconv layers,
-9 resblocks @1024ch) — the exact path ``scripts/sample_images.py`` exercises
-in the reference. Runs in bf16 compute (params f32).
+Emits ONE JSON line. Primary metric: test-mode inference images/sec at
+128x128, batch 16 (the exact path the reference's sample_images.py
+exercises: scene graph -> GCN -> boxes/masks -> occlusion-ordered layout
+composition -> pix2pixHD generator). ``extra`` carries batch-64 serving
+throughput, the full adversarial train-step time (batch 12, f32), and an
+analytic-FLOP MFU estimate for the inference path.
 
 Methodology: the local runtime dispatches asynchronously and host readbacks
-pay a large tunnel latency, so K forward passes are enqueued back-to-back
-with a data dependency between consecutive calls (each call's noise is
-derived from the previous image), forcing sequential device execution, and
-only the last result is read back; per-iteration device time =
-(T(K) - T(1)) / (K - 1), which cancels both dispatch and readback latency.
+pay a large tunnel latency, so K calls are enqueued back-to-back with a data
+dependency between consecutive calls (forcing sequential device execution)
+and only the last result is read back; per-iteration device time =
+(T(K) - T(1)) / (K - 1), which cancels dispatch and readback latency.
+
+Pre-flight: the TPU tunnel can wedge host-side (CLAUDE.md "known environment
+failure mode"), hanging jax.devices() forever. The device probe therefore
+runs in a SUBPROCESS with a bounded timeout and one retry; failure exits
+nonzero with a named diagnostic instead of hanging the driver.
 
 Baseline: the reference repo ships no numbers and no timing code
 (BASELINE.md). ``VS_BASELINE_REF`` is an analytic estimate of the
@@ -21,23 +26,71 @@ gives ~90 img/s. Treat >= 1.0 as parity.
 """
 import dataclasses
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-# Persistent compilation cache: repeat bench runs skip the (remote) compile.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-VS_BASELINE_REF = 90.0  # img/s, estimated reference V100 inference (docstring)
-BATCH = 16
+VS_BASELINE_REF = 90.0  # img/s, estimated reference V100 inference
 K_LONG = 17
 REPEATS = 5
+PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16 (1 chip)
+PROBE_TIMEOUT_S = 180
 
 
-def build_forward():
+def log(msg):
+    print(f"# {msg}", file=sys.stderr, flush=True)
+
+
+def preflight():
+    """Probe backend init in a subprocess (bounded; one retry)."""
+    probe = ("import jax; ds = jax.devices(); "
+             "print(jax.default_backend(), len(ds))")
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=PROBE_TIMEOUT_S)
+        except subprocess.TimeoutExpired:
+            log(f"preflight attempt {attempt}: jax.devices() HUNG for "
+                f"{PROBE_TIMEOUT_S}s — tunnel relay likely wedged "
+                f"(make_c_api_client retry loop); see CLAUDE.md")
+            continue
+        if r.returncode == 0:
+            log(f"preflight OK: backend={r.stdout.strip()}")
+            return True
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        log(f"preflight attempt {attempt}: backend init FAILED rc="
+            f"{r.returncode}: " + " | ".join(tail))
+        time.sleep(5)
+    return False
+
+
+def analytic_generator_gflops(mc, batch):
+    """Conv FLOPs of the pix2pixHD generator (the FLOP-dominant module),
+    from the live config. 2*H*W*K^2*Cin*Cout per conv; transpose convs
+    counted at their input resolution (equivalent work)."""
+    h, w = mc.image_size
+    ngf = mc.ngf
+    d = mc.num_objs + mc.rep_size
+    total = 2 * h * w * 49 * d * ngf                      # 7x7 stem
+    ch, res = ngf, (h, w)
+    for _ in range(mc.n_downsample_global):               # stride-2 downs
+        res = (res[0] // 2, res[1] // 2)
+        total += 2 * res[0] * res[1] * 9 * ch * ch * 2
+        ch *= 2
+    total += mc.n_blocks_global * 2 * (2 * res[0] * res[1] * 9 * ch * ch)
+    for _ in range(mc.n_downsample_global):               # transpose ups
+        total += 2 * res[0] * res[1] * 9 * ch * (ch // 2) * 4
+        ch //= 2
+        res = (res[0] * 2, res[1] * 2)
+    total += 2 * h * w * 49 * ngf * 3                     # 7x7 head
+    return batch * total / 1e9
+
+
+def build_forward(batch_size):
+    import jax
+    import jax.numpy as jnp
     from scene_generation_tpu.config import Config
     from scene_generation_tpu.data import synthetic_batch
     from scene_generation_tpu.models import SceneModel
@@ -45,12 +98,11 @@ def build_forward():
     cfg = Config()
     # scan_blocks=True compiles ~6x faster at ~8% throughput cost; the
     # remote compiler is flaky enough on cold caches that reliability wins
-    # for the recorded benchmark (unrolled serving measured 1097 img/s
-    # pre-Pallas vs 998 scanned; with the Pallas compositor 1407 unrolled).
+    # for the recorded benchmark.
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16", scan_blocks=True))
     mc = cfg.model
-    batch = synthetic_batch(cfg, seed=0, batch_size=BATCH)
+    batch = synthetic_batch(cfg, seed=0, batch_size=batch_size)
     model = SceneModel(mc)
     objs = jnp.asarray(batch.objs)
     triples = jnp.asarray(batch.triples)
@@ -75,9 +127,6 @@ def build_forward():
         jax.random.PRNGKey(0), objs, triples, attrs, obj_mask, triple_mask,
         noise0, features, features_mask)
 
-    # NOTE: variables/inputs are passed as ARGUMENTS — captured in a closure
-    # they would be baked into the HLO as giant literal constants and stall
-    # compilation.
     @jax.jit
     def single(variables, inputs, noise):
         objs, triples, attrs, obj_mask, triple_mask, features, fmask = inputs
@@ -92,10 +141,12 @@ def build_forward():
 
     inputs = (objs, triples, attrs, obj_mask, triple_mask, features,
               features_mask)
-    return single, variables, inputs
+    return single, variables, inputs, mc
 
 
 def timed_chain(single, variables, inputs, k, repeats=REPEATS):
+    import jax.numpy as jnp
+    import numpy as np
     ts = []
     for _ in range(repeats):
         noise = jnp.zeros((64,), jnp.float32)
@@ -107,30 +158,91 @@ def timed_chain(single, variables, inputs, k, repeats=REPEATS):
     return float(np.median(ts))
 
 
-def main():
-    import sys
-
-    def log(msg):
-        print(f"# {msg}", file=sys.stderr, flush=True)
-
+def bench_inference(batch_size):
     t0 = time.perf_counter()
-    single, variables, inputs = build_forward()
-    log(f"init dispatched {time.perf_counter() - t0:.1f}s")
-    img, noise = single(variables, inputs, jnp.zeros((64,), jnp.float32))
+    single, variables, inputs, mc = build_forward(batch_size)
+    log(f"[b{batch_size}] init dispatched {time.perf_counter() - t0:.1f}s")
+    import jax.numpy as jnp
+    img, _ = single(variables, inputs, jnp.zeros((64,), jnp.float32))
     float(jnp.mean(img))
-    log(f"compile+warm done {time.perf_counter() - t0:.1f}s")
+    log(f"[b{batch_size}] compile+warm done {time.perf_counter() - t0:.1f}s")
     t1 = timed_chain(single, variables, inputs, 1)
-    log(f"t1={t1:.3f}s")
     tk = timed_chain(single, variables, inputs, K_LONG)
-    log(f"tK={tk:.3f}s")
     per_iter = (tk - t1) / (K_LONG - 1)
-    imgs_per_sec = BATCH / per_iter
+    rate = batch_size / per_iter
+    gflops = analytic_generator_gflops(mc, batch_size)
+    mfu = gflops * 1e9 / per_iter / PEAK_BF16_FLOPS
+    log(f"[b{batch_size}] t1={t1:.3f}s tK={tk:.3f}s -> {rate:.1f} img/s, "
+        f"generator-MFU~{mfu * 100:.1f}%")
+    return rate, mfu
+
+
+def bench_train_step(k_time=8):
+    """Full adversarial step (G + 3 D updates), batch 12 f32, production
+    config (Pallas train compositor on TPU)."""
+    import jax
+    from scene_generation_tpu.config import Config
+    from scene_generation_tpu.data import synthetic_batch
+    from scene_generation_tpu.trainer import create_train_state
+    from scene_generation_tpu.trainer.step import make_train_step
+
+    cfg = Config()
+    batch = synthetic_batch(cfg, seed=0)
+    t0 = time.perf_counter()
+    mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                     load_vgg=False)
+    step = make_train_step(mods, donate=False)
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    log(f"[train] first step done {time.perf_counter() - t0:.1f}s "
+        f"(incl. init+compile)")
+    import numpy as np
+    ts = []
+    for _ in range(3):
+        s = state
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(k_time):
+            s, m = step(s, batch)
+        jax.block_until_ready(m["total_loss"])
+        ts.append((time.perf_counter() - t0) / k_time)
+    dt = float(np.min(ts))
+    n = batch.imgs.shape[0]
+    log(f"[train] {dt * 1e3:.1f} ms/step (batch {n}, {n / dt:.1f} img/s)")
+    return dt, n
+
+
+def main():
+    if not preflight():
+        log("FATAL: no usable accelerator backend after retry")
+        sys.exit(1)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rate16, mfu16 = bench_inference(16)
+
+    extra = {"inference_mfu_generator": round(mfu16, 4)}
+    try:
+        rate64, mfu64 = bench_inference(64)
+        extra["inference_images_per_sec_b64"] = round(rate64, 2)
+        extra["inference_mfu_generator_b64"] = round(mfu64, 4)
+    except Exception as e:  # pragma: no cover - degraded mode
+        log(f"batch-64 bench failed: {type(e).__name__}: {e}")
+    try:
+        dt, n = bench_train_step()
+        extra["train_ms_per_step_b12_f32"] = round(dt * 1e3, 2)
+        extra["train_images_per_sec"] = round(n / dt, 2)
+    except Exception as e:  # pragma: no cover - degraded mode
+        log(f"train-step bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "inference_images_per_sec_128px",
-        "value": round(imgs_per_sec, 2),
+        "value": round(rate16, 2),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec / VS_BASELINE_REF, 3),
+        "vs_baseline": round(rate16 / VS_BASELINE_REF, 3),
+        "extra": extra,
     }))
 
 

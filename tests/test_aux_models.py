@@ -197,3 +197,119 @@ def test_fid_accumulator_with_stub_features():
     same.add_real(real)
     same.add_fake(real)
     assert fid.compute() > same.compute()
+
+
+def test_vgg_full_tap_parity_random_weights(tmp_path):
+    """All five perceptual-loss taps vs the state-dict-driven torch oracle
+    (scripts/fetch_pretrained.py) on random torchvision-layout weights —
+    validates converter AND oracle so the real-weight test is meaningful."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.fetch_pretrained import torch_vgg19_taps
+    from scene_generation_tpu.models.vgg import Vgg19Features, load_torch_vgg19
+
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    sd, idx, in_c = {}, 0, 3
+    gen = torch.Generator().manual_seed(1)
+    for spec in cfg:
+        if spec == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = torch.randn(
+            spec, in_c, 3, 3, generator=gen) * 0.05
+        sd[f"features.{idx}.bias"] = torch.randn(spec, generator=gen) * 0.05
+        in_c = spec
+        idx += 2
+    path = str(tmp_path / "vgg19.pth")
+    torch.save(sd, path)
+
+    x = np.random.RandomState(3).rand(1, 64, 64, 3).astype(np.float32)
+    m = Vgg19Features()
+    params = dict(m.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"])
+    params, loaded = load_torch_vgg19(params, path=path)
+    assert loaded
+    taps = m.apply({"params": params}, jnp.asarray(x))
+    want = torch_vgg19_taps(sd, torch.as_tensor(x.transpose(0, 3, 1, 2)))
+    assert len(want) == 5
+    for i, (a, b) in enumerate(zip(taps, want)):
+        np.testing.assert_allclose(np.asarray(a),
+                                   b.permute(0, 2, 3, 1).numpy(),
+                                   atol=1e-3, rtol=1e-3,
+                                   err_msg=f"tap {i}")
+
+
+def test_resnet101_full_logits_parity_random_weights(tmp_path):
+    """Full ResNet101 logits vs the state-dict-driven torch oracle on
+    random weights (small input keeps CPU time sane)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.fetch_pretrained import torch_resnet101_logits
+    from scene_generation_tpu.models import resnet as R
+
+    model = R.resnet101(num_classes=1000)
+    x = np.random.RandomState(4).rand(1, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                           train=False)
+
+    # Fabricate a full random torchvision-layout state dict from the flax
+    # tree shapes (reusing the converter's own name mapping inverse).
+    gen = torch.Generator().manual_seed(2)
+    sd = {}
+
+    def torch_name(path):
+        parts = []
+        for p in path.split("/"):
+            if p.startswith("layer") and "_" in p:
+                stage, block = p.split("_")
+                parts += [stage, block]
+            elif p == "downsample_conv":
+                parts += ["downsample", "0"]
+            elif p == "downsample_bn":
+                parts += ["downsample", "1"]
+            else:
+                parts.append(p)
+        return ".".join(parts)
+
+    def fab(tree, prefix):
+        for k, v in tree.items():
+            p = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                fab(v, p)
+                continue
+            tname = torch_name(prefix)
+            if "fc" in prefix:
+                if k == "kernel":
+                    sd["fc.weight"] = torch.randn(v.shape[-1], v.shape[0],
+                                                  generator=gen) * 0.05
+                else:
+                    sd["fc.bias"] = torch.randn(v.shape[0],
+                                                generator=gen) * 0.05
+            elif k == "kernel":
+                sd[tname + ".weight"] = torch.randn(
+                    v.shape[3], v.shape[2], v.shape[0], v.shape[1],
+                    generator=gen) * 0.05
+            elif k in ("scale", "bias"):
+                key = ".weight" if k == "scale" else ".bias"
+                sd[tname + key] = torch.randn(v.shape[0],
+                                              generator=gen) * 0.1 + 1.0
+            elif k == "mean":
+                sd[tname + ".running_mean"] = torch.randn(
+                    v.shape[0], generator=gen) * 0.1
+            elif k == "var":
+                sd[tname + ".running_var"] = torch.rand(
+                    v.shape[0], generator=gen) + 0.5
+
+    fab(dict(variables["params"]), "")
+    fab(dict(variables["batch_stats"]), "")
+    path = str(tmp_path / "resnet101.pth")
+    torch.save(sd, path)
+
+    variables, loaded = R.load_torch_resnet(dict(variables), path=path)
+    assert loaded
+    got = model.apply(variables, jnp.asarray(x), train=False)
+    want = torch_resnet101_logits(
+        sd, torch.as_tensor(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-3, rtol=1e-3)
