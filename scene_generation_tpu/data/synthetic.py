@@ -60,6 +60,18 @@ def _draw_object(img: np.ndarray, box: np.ndarray, color: np.ndarray,
     return mask_m
 
 
+def _class_color(cls: int, rng: np.random.RandomState,
+                 jitter: float = 0.15) -> np.ndarray:
+    """Deterministic per-class base color + per-instance jitter: makes the
+    class->appearance mapping learnable (meaningful AC loss / IS / accuracy
+    trends), while the jitter keeps the appearance encoder's 32-d latent
+    informative beyond the class label."""
+    g = np.random.RandomState(cls * 7919 + 13)
+    base = g.rand(3)
+    return np.clip(base + jitter * (rng.rand(3) - 0.5), 0.0, 1.0).astype(
+        np.float32)
+
+
 def synthetic_example(cfg: Config, rng: np.random.RandomState) -> Example:
     dc, mc = cfg.data, cfg.model
     h, w = dc.image_size
@@ -79,7 +91,7 @@ def synthetic_example(cfg: Config, rng: np.random.RandomState) -> Example:
         x0 = rng.uniform(0, 1 - bw)
         y0 = rng.uniform(0, 1 - bh)
         box = np.array([x0, y0, x0 + bw, y0 + bh], np.float32)
-        color = rng.rand(3).astype(np.float32)
+        color = _class_color(cls, rng)
         mask = _draw_object(img, box, color, rng.randint(2), m)
         objs.append(cls)
         boxes.append(box)

@@ -210,9 +210,14 @@ def main(argv=None):
     except Exception:
         pass
 
+    # Process workers for real datasets (JPEG decode + RLE rasterize compete
+    # with the training process for the GIL; reference uses 4 worker
+    # processes, train.py:71-77). Synthetic generation is cheap numpy —
+    # threads avoid the spawn/pickle overhead.
     dl_kwargs = dict(batch_size=cfg.data.batch_size,
                      max_objs=cfg.data.max_objs,
-                     max_triples=cfg.data.max_triples, num_workers=4)
+                     max_triples=cfg.data.max_triples, num_workers=4,
+                     worker_type="thread" if a.synthetic else "process")
     train_loader = DataLoader(train_dset, shuffle=True,
                               seed=cfg.train.seed, **dl_kwargs)
     val_loader = DataLoader(val_dset, shuffle=cfg.data.shuffle_val,
