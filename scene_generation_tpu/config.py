@@ -102,6 +102,11 @@ class ModelConfig:
     train_compositor_backend: str = "auto"
     # Rematerialize generator resblocks in backward (memory for FLOPs).
     remat_generator: bool = False
+    # Terminal nonlinearity of the box head: "relu" = reference parity
+    # (build_mlp final_nonlinearity, layers.py:215-231) — prone to dead-ReLU
+    # collapse (boxes pinned to 0, observed in synthetic training);
+    # "none" = plain linear output (recommended; documented divergence).
+    box_net_final: str = "relu"
 
     @property
     def jax_compute_dtype(self):

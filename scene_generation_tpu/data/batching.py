@@ -97,20 +97,39 @@ def split_batch(batch: Batch) -> List[Example]:
 
 def collate(examples: Sequence[Example], max_objs: int,
             max_triples: int) -> Batch:
-    """Stack padded examples into a Batch (device-ready numpy)."""
-    imgs, objs, boxes, masks, triples, attrs, om, tm = [], [], [], [], [], [], [], []
-    for ex in examples:
-        padded = pad_example(ex, max_objs, max_triples)
-        imgs.append(ex.image)
-        for buf, val in zip((objs, boxes, masks, triples, attrs, om, tm), padded):
-            buf.append(val)
-    return Batch(
-        imgs=np.stack(imgs).astype(np.float32),
-        objs=np.stack(objs),
-        boxes=np.stack(boxes),
-        masks=np.stack(masks),
-        triples=np.stack(triples),
-        attributes=np.stack(attrs),
-        obj_mask=np.stack(om),
-        triple_mask=np.stack(tm),
-    )
+    """Stack padded examples into a Batch (device-ready numpy).
+
+    Fills preallocated batch arrays in place (no per-example pad + stack +
+    astype copies — the loader runs on the host's critical path)."""
+    n = len(examples)
+    ex0 = examples[0]
+    h, w, _ = ex0.image.shape
+    m = ex0.masks.shape[-1]
+    a = ex0.attributes.shape[-1]
+    imgs = np.empty((n, h, w, 3), np.float32)
+    objs = np.zeros((n, max_objs), np.int32)
+    boxes = np.zeros((n, max_objs, 4), np.float32)
+    boxes[..., 2:] = 1.0
+    masks = np.zeros((n, max_objs, m, m), np.float32)
+    triples = np.zeros((n, max_triples, 3), np.int32)
+    attrs = np.zeros((n, max_objs, a), np.float32)
+    om = np.zeros((n, max_objs), np.float32)
+    tm = np.zeros((n, max_triples), np.float32)
+    for i, ex in enumerate(examples):
+        o = ex.objs.shape[0]
+        t = ex.triples.shape[0]
+        if o > max_objs:
+            raise ValueError(f"{o} objects > max_objs={max_objs}")
+        if t > max_triples:
+            raise ValueError(f"{t} triples > max_triples={max_triples}")
+        imgs[i] = ex.image
+        objs[i, :o] = ex.objs
+        boxes[i, :o] = ex.boxes
+        masks[i, :o] = ex.masks
+        triples[i, :t] = ex.triples
+        attrs[i, :o] = ex.attributes
+        om[i, :o] = 1.0
+        tm[i, :t] = 1.0
+    return Batch(imgs=imgs, objs=objs, boxes=boxes, masks=masks,
+                 triples=triples, attributes=attrs, obj_mask=om,
+                 triple_mask=tm)

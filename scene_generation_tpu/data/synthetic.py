@@ -8,6 +8,7 @@ no downloads, no pycocotools. This fills the reference's test-strategy gap
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import numpy as np
@@ -33,19 +34,25 @@ def synthetic_vocab(num_objs: int = 12) -> Dict:
     }
 
 
+@functools.lru_cache(maxsize=64)
+def _shape_mask(shape: int, mask_size: int) -> np.ndarray:
+    """Cached M x M template mask (identical values to the inline
+    computation it replaced; the host loader is on the critical path)."""
+    if shape == 0:  # rectangle
+        return np.ones((mask_size, mask_size), np.float32)
+    ys, xs = np.mgrid[0:mask_size, 0:mask_size]
+    cy, cx = (mask_size - 1) / 2, (mask_size - 1) / 2
+    return (((ys - cy) / (mask_size / 2)) ** 2
+            + ((xs - cx) / (mask_size / 2)) ** 2 <= 1).astype(np.float32)
+
+
 def _draw_object(img: np.ndarray, box: np.ndarray, color: np.ndarray,
                  shape: int, mask_size: int) -> np.ndarray:
     """Rasterize a rectangle/ellipse into the image; return its M x M mask."""
     h, w, _ = img.shape
     x0, y0, x1, y1 = (box * [w, h, w, h]).astype(int)
     x1, y1 = max(x1, x0 + 1), max(y1, y0 + 1)
-    ys, xs = np.mgrid[0:mask_size, 0:mask_size]
-    if shape == 0:  # rectangle
-        mask_m = np.ones((mask_size, mask_size), np.float32)
-    else:  # ellipse
-        cy, cx = (mask_size - 1) / 2, (mask_size - 1) / 2
-        mask_m = (((ys - cy) / (mask_size / 2)) ** 2
-                  + ((xs - cx) / (mask_size / 2)) ** 2 <= 1).astype(np.float32)
+    mask_m = _shape_mask(shape, mask_size)
     # Paint the (resized) mask into the image region.
     bh, bw = y1 - y0, x1 - x0
     yy = np.clip((np.arange(bh) * mask_size // max(bh, 1)), 0, mask_size - 1)
@@ -60,14 +67,20 @@ def _draw_object(img: np.ndarray, box: np.ndarray, color: np.ndarray,
     return mask_m
 
 
+@functools.lru_cache(maxsize=4096)
+def _class_base_color(cls: int):
+    """RandomState construction is ~0.4ms; the per-class base is fixed, so
+    cache it (values identical to the uncached computation)."""
+    return np.random.RandomState(cls * 7919 + 13).rand(3)
+
+
 def _class_color(cls: int, rng: np.random.RandomState,
                  jitter: float = 0.15) -> np.ndarray:
     """Deterministic per-class base color + per-instance jitter: makes the
     class->appearance mapping learnable (meaningful AC loss / IS / accuracy
     trends), while the jitter keeps the appearance encoder's 32-d latent
     informative beyond the class label."""
-    g = np.random.RandomState(cls * 7919 + 13)
-    base = g.rand(3)
+    base = _class_base_color(cls)
     return np.clip(base + jitter * (rng.rand(3) - 0.5), 0.0, 1.0).astype(
         np.float32)
 

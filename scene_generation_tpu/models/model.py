@@ -64,8 +64,16 @@ class SceneModel(nn.Module):
                 input_dim=cfg.gconv_dim, num_layers=cfg.gconv_num_layers - 1,
                 hidden_dim=cfg.gconv_hidden_dim, pooling=cfg.gconv_pooling,
                 dtype=dtype, mlp_normalization=cfg.mlp_normalization)
+        # Reference parity keeps build_mlp's default final ReLU on the box
+        # coordinates (model.py:63-66 + layers.py:215-231,
+        # final_nonlinearity=True). That head is one dead-ReLU event away
+        # from permanent collapse (observed in practice: runs/r2 synthetic
+        # training, boxes pinned to 0 and IoU -> 0.0 at ~step 3500);
+        # box_net_final="none" drops the terminal ReLU — documented
+        # divergence, recommended for real training.
         self.box_net = MLP((cfg.box_dim, cfg.gconv_hidden_dim, 4),
-                           batch_norm=cfg.mlp_normalization, dtype=dtype)
+                           batch_norm=cfg.mlp_normalization, dtype=dtype,
+                           final_nonlinearity=cfg.box_net_final == "relu")
         self.mask_net = MaskNet(dim=cfg.g_mask_dim, mask_size=cfg.mask_size,
                                 dtype=dtype)
         self.repr_net = MLP((cfg.g_mask_dim, cfg.rep_hidden_size,

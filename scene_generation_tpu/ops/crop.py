@@ -17,13 +17,21 @@ from scene_generation_tpu.ops.sampling import crop_matrices, interp_matrix
 
 
 def crop_bbox_batch(imgs: jax.Array, boxes: jax.Array, hh: int,
-                    ww: Optional[int] = None) -> jax.Array:
+                    ww: Optional[int] = None, backend: str = "xla",
+                    interpret: bool = False) -> jax.Array:
     """Crop every object box from its image.
 
     Args:
       imgs: (N, H, W, C) images.
       boxes: (N, O, 4) [x0, y0, x1, y1] in [0, 1] image coordinates.
       hh, ww: output crop resolution.
+      backend: 'xla' (default) | 'pallas' | 'auto'. 'pallas' is the fused
+        custom-VJP kernel (each image is read into VMEM once for all O
+        crops; the XLA path re-reads it per object and round-trips an
+        (N, O, HH, W, C) intermediate through HBM); 'auto' resolves to
+        pallas on TPU. Default stays 'xla' until the kernel is
+        hardware-validated (scripts/validate_pallas_crop.py).
+      interpret: run the Pallas kernel in interpret mode (CPU testing).
 
     Returns:
       (N, O, HH, WW, C) crops. Semantics match reference
@@ -35,6 +43,12 @@ def crop_bbox_batch(imgs: jax.Array, boxes: jax.Array, hh: int,
     _, h, w, _ = imgs.shape
     dtype = imgs.dtype
     ry, rx = crop_matrices(boxes.astype(dtype), hh, ww, h, w)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from scene_generation_tpu.ops.pallas.crop import crop_pallas
+        # Gradients w.r.t. boxes flow through the jax-level crop_matrices.
+        return crop_pallas(interpret, imgs, ry, rx)
     # crop[n,o,p,q,c] = sum_{y,x} ry[n,o,p,y] img[n,y,x,c] rx[n,o,q,x]
     tmp = jnp.einsum("nopy,nyxc->nopxc", ry, imgs,
                      preferred_element_type=dtype)

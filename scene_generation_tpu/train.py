@@ -55,6 +55,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--gconv_num_layers", type=int, default=5)
     p.add_argument("--n_downsample_global", type=int, default=4)
     p.add_argument("--use_attributes", type=int, default=1)
+    p.add_argument("--box_net_final", choices=["relu", "none"],
+                   default="relu",
+                   help="terminal box-head nonlinearity; 'relu' is "
+                        "reference parity but can dead-ReLU collapse "
+                        "(config.py ModelConfig.box_net_final)")
     # Loss weights (args.py:70-79).
     p.add_argument("--l1_pixel_loss_weight", type=float, default=0.0)
     p.add_argument("--bbox_pred_loss_weight", type=float, default=10.0)
@@ -94,6 +99,8 @@ def parse_args(argv=None) -> argparse.Namespace:
 def config_from_args(a: argparse.Namespace) -> Config:
     if a.tiny:
         cfg = tiny_config()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, box_net_final=a.box_net_final))
         return cfg.replace(train=dataclasses.replace(
             cfg.train, num_iterations=a.num_iterations,
             print_every=a.print_every, checkpoint_every=a.checkpoint_every,
@@ -112,7 +119,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
                           gconv_dim=a.gconv_dim,
                           gconv_num_layers=a.gconv_num_layers,
                           n_downsample_global=a.n_downsample_global,
-                          use_attributes=bool(a.use_attributes)),
+                          use_attributes=bool(a.use_attributes),
+                          box_net_final=a.box_net_final),
         loss=LossConfig(
             l1_pixel_loss_weight=a.l1_pixel_loss_weight,
             bbox_pred_loss_weight=a.bbox_pred_loss_weight,

@@ -1,0 +1,78 @@
+"""Diversity metric (reference protocol #3, README.md:81 ->
+richzhang/PerceptualSimilarity): mean LPIPS distance between pairs of
+images generated from the SAME scene graph with independently sampled
+appearance features.
+
+For each val scene the model runs twice in test mode with two independent
+per-class cluster feature draws (the same randomness sample_images.py uses
+for non-GT textures); diversity = mean +- std of LPIPS over scenes.
+
+Without pretrained VGG16/LPIPS-lin weights (scripts/fetch_pretrained.py)
+the distance runs on random features with uniform lin weights — values are
+then comparable only within a run (relative diversity), mirroring the IS
+fallback policy.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--checkpoint_name", default="checkpoint")
+    p.add_argument("--best", type=int, default=0)
+    p.add_argument("--features_path", default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_samples", type=int, default=64)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--coco_dir", default="datasets/coco")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_json", default=None)
+    return p.parse_args()
+
+
+def main():
+    a = parse_args()
+    from scene_generation_tpu.api import InferenceModel
+    from scene_generation_tpu.metrics_lpips import create_lpips_fn
+    from scripts.sample_images import build_loader
+
+    model = InferenceModel.from_checkpoint(
+        a.output_dir, a.checkpoint_name, best=bool(a.best),
+        features_path=a.features_path)
+    loader = build_loader(model, a)
+    lpips_fn, loaded = create_lpips_fn()
+    if not loaded:
+        print("WARNING: no VGG16/LPIPS weights found; diversity values are "
+              "relative-only (random-feature LPIPS). Install via "
+              "scripts/fetch_pretrained.py.")
+    rng = np.random.RandomState(a.seed)
+
+    dists = []
+    for batch in loader:
+        if len(dists) >= a.num_samples:
+            break
+        f1 = model.sample_cluster_features(batch.objs, batch.obj_mask, rng)
+        f2 = model.sample_cluster_features(batch.objs, batch.obj_mask, rng)
+        out1 = model.forward_batch(batch, features=f1)
+        out2 = model.forward_batch(batch, features=f2)
+        d = lpips_fn(out1.imgs_pred, out2.imgs_pred)
+        dists.extend(np.asarray(d).tolist())
+    dists = np.asarray(dists[:a.num_samples])
+    result = {"diversity_lpips_mean": float(dists.mean()),
+              "diversity_lpips_std": float(dists.std()),
+              "n": int(dists.size), "pretrained": bool(loaded)}
+    print(json.dumps(result))
+    if a.out_json:
+        with open(a.out_json, "w") as f:
+            json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()

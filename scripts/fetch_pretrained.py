@@ -36,13 +36,19 @@ import os
 import sys
 
 WEIGHTS = {
-    # name: (torchvision URL, sha256 prefix from the filename)
+    # name: (URL, sha256 prefix from the filename; None = no embedded hash
+    # — the computed sha256 is printed for manual recording)
     "vgg19": ("https://download.pytorch.org/models/vgg19-dcbb9e9d.pth",
               "dcbb9e9d"),
     "inception_v3": ("https://download.pytorch.org/models/"
                      "inception_v3_google-1a9a5a14.pth", "1a9a5a14"),
     "resnet101": ("https://download.pytorch.org/models/"
                   "resnet101-5d3b4d8f.pth", "5d3b4d8f"),
+    # LPIPS diversity metric (reference README.md:81).
+    "vgg16": ("https://download.pytorch.org/models/vgg16-397923af.pth",
+              "397923af"),
+    "lpips_vgg_lin": ("https://github.com/richzhang/PerceptualSimilarity/"
+                      "raw/master/lpips/weights/v0.1/vgg.pth", None),
 }
 
 DEFAULT_DEST = os.path.expanduser("~/.cache/torch/hub/checkpoints")
@@ -61,21 +67,27 @@ def fetch(dest: str) -> int:
     os.makedirs(dest, exist_ok=True)
     rc = 0
     for name, (url, prefix) in WEIGHTS.items():
-        fname = os.path.join(dest, url.rsplit("/", 1)[1])
-        if os.path.isfile(fname) and sha256_prefix(fname) == prefix:
+        base = url.rsplit("/", 1)[1]
+        if name == "lpips_vgg_lin":
+            base = "lpips_vgg_lin-v0.1.pth"  # avoid clash with vgg*.pth
+        fname = os.path.join(dest, base)
+        if os.path.isfile(fname) and (prefix is None
+                                      or sha256_prefix(fname) == prefix):
             print(f"{name}: already present + hash OK ({fname})")
             continue
         print(f"{name}: downloading {url}")
         try:
             tmp = fname + ".part"
             urllib.request.urlretrieve(url, tmp)
-            got = sha256_prefix(tmp)
-            if got != prefix:
+            got = sha256_prefix(tmp, 64)
+            if prefix is not None and got[:len(prefix)] != prefix:
                 os.unlink(tmp)
-                print(f"{name}: SHA256 prefix mismatch: got {got}, want "
-                      f"{prefix} — refusing")
+                print(f"{name}: SHA256 prefix mismatch: got "
+                      f"{got[:len(prefix)]}, want {prefix} — refusing")
                 rc = 1
                 continue
+            if prefix is None:
+                print(f"{name}: sha256={got} (no pinned hash; record it)")
             os.replace(tmp, fname)
             print(f"{name}: OK -> {fname}")
         except Exception as e:
@@ -101,6 +113,28 @@ def torch_vgg19_taps(sd, x_nchw):
     x = x_nchw
     with torch.no_grad():
         for i in range(37):
+            wk = f"features.{i}.weight"
+            if wk in sd:
+                x = F.relu(F.conv2d(x, sd[wk], sd[f"features.{i}.bias"],
+                                    padding=1))
+                if i in tap_after_relu_of_conv:
+                    taps.append(x)
+            elif i in pool_at:
+                x = F.max_pool2d(x, 2, 2)
+    return taps
+
+
+def torch_vgg16_taps(sd, x_nchw):
+    """torchvision vgg16.features forward, tapping at the LPIPS slice
+    points (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)."""
+    import torch
+    import torch.nn.functional as F
+    pool_at = {4, 9, 16, 23, 30}
+    tap_after_relu_of_conv = {2, 7, 14, 21, 28}
+    taps = []
+    x = x_nchw
+    with torch.no_grad():
+        for i in range(31):
             wk = f"features.{i}.weight"
             if wk in sd:
                 x = F.relu(F.conv2d(x, sd[wk], sd[f"features.{i}.bias"],
@@ -188,6 +222,37 @@ def verify() -> int:
         print(f"vgg19: 5-tap parity OK ({path})")
     else:
         print("vgg19: weights not found — skipped")
+        rc = 1
+
+    from scene_generation_tpu.metrics_lpips import (Vgg16Features,
+                                                    load_lpips_lin,
+                                                    load_torch_vgg16)
+    v16 = os.path.join(DEFAULT_DEST, "vgg16-397923af.pth")
+    v16 = os.environ.get("SGT_VGG16_WEIGHTS", v16)
+    if os.path.isfile(v16):
+        sd = torch.load(v16, map_location="cpu", weights_only=True)
+        x = rng.rand(2, 64, 64, 3).astype(np.float32)
+        m = Vgg16Features()
+        params = dict(m.init(jax.random.PRNGKey(0),
+                             jnp.asarray(x))["params"])
+        params, _ = load_torch_vgg16(params, path=v16)
+        taps = m.apply({"params": params}, jnp.asarray(x))
+        want = torch_vgg16_taps(sd, torch.as_tensor(x.transpose(0, 3, 1, 2)))
+        for i, (a, b) in enumerate(zip(taps, want)):
+            np.testing.assert_allclose(
+                np.asarray(a), b.permute(0, 2, 3, 1).numpy(), atol=1e-3,
+                rtol=1e-3, err_msg=f"vgg16 tap {i}")
+        print(f"vgg16: 5-tap parity OK ({v16})")
+        lins, lin_loaded = load_lpips_lin()
+        if lin_loaded:
+            assert [w.shape[0] for w in lins] == [64, 128, 256, 512, 512]
+            assert all((w >= 0).all() for w in lins)
+            print("lpips lin head: shapes + nonnegativity OK")
+        else:
+            print("lpips lin head: not found — uniform-weight fallback")
+            rc = 1
+    else:
+        print("vgg16: weights not found — skipped")
         rc = 1
 
     from scene_generation_tpu.models import resnet as R

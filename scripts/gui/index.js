@@ -14,11 +14,26 @@ const COLORS = ['#e6194b', '#3cb44b', '#4363d8', '#f58231', '#911eb4',
 
 fetch('/vocab').then(r => r.json()).then(v => {
   const sel = document.getElementById('obj-class');
-  v.objects.forEach(name => {
+  const addOpt = (parent, name) => {
     const o = document.createElement('option');
     o.value = name; o.textContent = name;
-    sel.appendChild(o);
-  });
+    parent.appendChild(o);
+  };
+  // Grouped menu (things/stuff/other) when the vocab carries the split —
+  // covers both instances- and panoptic-trained checkpoints with one page.
+  if (v.groups) {
+    const labels = {things: 'THINGS', stuff: 'STUFF', other: 'OTHER'};
+    for (const key of ['things', 'stuff', 'other']) {
+      const names = v.groups[key] || [];
+      if (!names.length) continue;
+      const g = document.createElement('optgroup');
+      g.label = labels[key];
+      names.forEach(n => addOpt(g, n));
+      sel.appendChild(g);
+    }
+  } else {
+    v.objects.forEach(n => addOpt(sel, n));
+  }
 });
 
 function select(obj) {

@@ -137,9 +137,27 @@ def make_handler(backend):
                 self.wfile.write(body)
                 return
             if self.path == "/vocab":
-                names = [n for n in backend.model.vocab["my_idx_to_obj"]
+                vocab = backend.model.vocab
+                names = [n for n in vocab["my_idx_to_obj"]
                          if n and n != "__image__"]
-                body = json.dumps({"objects": names}).encode()
+                # Grouped menu (replaces the reference's separate
+                # index_panoptic.html page, which is the same app with a
+                # panoptic category menu baked in): the vocab's
+                # instance/stuff split drives <optgroup>s client-side, so
+                # one page serves instances-trained AND panoptic-trained
+                # checkpoints.
+                payload = {"objects": names}
+                things = set(vocab.get("instance") or [])
+                stuff = set(vocab.get("stuff") or [])
+                if things or stuff:
+                    payload["groups"] = {
+                        "things": sorted(n for n in names if n in things),
+                        "stuff": sorted(n for n in names if n in stuff),
+                        "other": sorted(n for n in names
+                                        if n not in things
+                                        and n not in stuff),
+                    }
+                body = json.dumps(payload).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
