@@ -8,8 +8,11 @@ precision, then times both backends (fwd and fwd+bwd chains).
 
 Usage: python scripts/validate_pallas_crop.py
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,11 @@ This is the evidence gate for flipping ``ModelConfig.
 train_compositor_backend`` to 'auto' (VERDICT round 1, item 2).
 """
 import dataclasses
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
