@@ -17,7 +17,7 @@ from scene_generation_tpu.ops.sampling import crop_matrices, interp_matrix
 
 
 def crop_bbox_batch(imgs: jax.Array, boxes: jax.Array, hh: int,
-                    ww: Optional[int] = None, backend: str = "xla",
+                    ww: Optional[int] = None, backend: str = "auto",
                     interpret: bool = False) -> jax.Array:
     """Crop every object box from its image.
 
@@ -25,12 +25,13 @@ def crop_bbox_batch(imgs: jax.Array, boxes: jax.Array, hh: int,
       imgs: (N, H, W, C) images.
       boxes: (N, O, 4) [x0, y0, x1, y1] in [0, 1] image coordinates.
       hh, ww: output crop resolution.
-      backend: 'xla' (default) | 'pallas' | 'auto'. 'pallas' is the fused
+      backend: 'auto' (default) | 'xla' | 'pallas'. 'pallas' is the fused
         custom-VJP kernel (each image is read into VMEM once for all O
         crops; the XLA path re-reads it per object and round-trips an
         (N, O, HH, W, C) intermediate through HBM); 'auto' resolves to
-        pallas on TPU. Default stays 'xla' until the kernel is
-        hardware-validated (scripts/validate_pallas_crop.py).
+        pallas on TPU. Hardware-validated on 1x v5e
+        (scripts/validate_pallas_crop.py): fwd+grad parity at 32/64px
+        production shapes; fwd 1.27 ms vs 1.85 xla at 32px, equal at 64px.
       interpret: run the Pallas kernel in interpret mode (CPU testing).
 
     Returns:
