@@ -171,6 +171,13 @@ class LossConfig:
     d_mask_features_weight: float = 10.0
     d_obj_weight: float = 0.1
     ac_loss_weight: float = 0.1
+    # Reference parity: box MSE (and L1) apply only on use_gt=1 steps
+    # (trainer.py:210-216), so boxes predicted from zeroed attributes are
+    # never supervised and the no-attribute path decays over training
+    # (RESULTS.md §3/§5). box_loss_gated=False supervises boxes on every
+    # step — a documented beyond-reference option for scene-graph-only
+    # serving.
+    box_loss_gated: bool = True
 
 
 @dataclass(frozen=True)

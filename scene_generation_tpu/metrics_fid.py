@@ -43,6 +43,46 @@ def _stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mu, sigma
 
 
+def create_shallow_features_fn(seed: int = 0):
+    """Fixed-seed shallow random-CNN feature extractor (fallback when no
+    pretrained InceptionV3 weights are installed).
+
+    A *deep* random-init network (48 conv layers) washes out input
+    dependence — pool3 features come out constant across images (std
+    ~3e-6), so FID degenerates to exactly 0. Four He-init conv layers with
+    leaky-ReLU keep features input-dependent; mean-pooled taps after every
+    layer give a 960-d descriptor. Random-feature FID is relative-only but
+    rank-correlates with real FID (Naeem et al. 2020 report random-feature
+    metrics preserve fidelity orderings).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    chans = [3, 64, 128, 256, 512]
+    kernels = []
+    for i in range(4):
+        key, k = jax.random.split(key)
+        fan_in = 3 * 3 * chans[i]
+        kernels.append(jax.random.normal(k, (3, 3, chans[i], chans[i + 1]),
+                                         jnp.float32)
+                       * jnp.sqrt(2.0 / fan_in))
+
+    @jax.jit
+    def features_fn(imgs):
+        x = jnp.asarray(imgs, jnp.float32)
+        taps = []
+        for w in kernels:
+            x = jax.lax.conv_general_dilated(
+                x, w, window_strides=(2, 2), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            x = jax.nn.leaky_relu(x, 0.2)
+            taps.append(x.mean(axis=(1, 2)))
+        return jnp.concatenate(taps, axis=-1)
+
+    return features_fn
+
+
 class FIDAccumulator:
     """Streams real/fake batches through InceptionV3 pool3 features."""
 
@@ -52,8 +92,10 @@ class FIDAccumulator:
                 create_inception_features_fn)
             features_fn, loaded = create_inception_features_fn()
             if not loaded:
-                print("[metrics_fid] WARNING: no InceptionV3 weights; FID "
-                      "is relative-only (random-init features)")
+                print("[metrics_fid] WARNING: no InceptionV3 weights; "
+                      "falling back to a shallow fixed-seed random-CNN "
+                      "extractor — FID values are relative-only")
+                features_fn = create_shallow_features_fn()
         self.features_fn = features_fn
         self._real: List[np.ndarray] = []
         self._fake: List[np.ndarray] = []

@@ -61,6 +61,10 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "reference parity but can dead-ReLU collapse "
                         "(config.py ModelConfig.box_net_final)")
     # Loss weights (args.py:70-79).
+    p.add_argument("--box_loss_gated", type=int, default=1,
+                   help="1 (reference parity): box MSE only on use_gt "
+                        "steps; 0: supervise boxes every step so the "
+                        "no-attribute path doesn't decay (RESULTS.md)")
     p.add_argument("--l1_pixel_loss_weight", type=float, default=0.0)
     p.add_argument("--bbox_pred_loss_weight", type=float, default=10.0)
     p.add_argument("--vgg_features_weight", type=float, default=10.0)
@@ -129,7 +133,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             d_img_features_weight=a.d_img_features_weight,
             d_mask_weight=a.d_mask_weight,
             d_mask_features_weight=a.d_mask_features_weight,
-            d_obj_weight=a.d_obj_weight, ac_loss_weight=a.ac_loss_weight),
+            d_obj_weight=a.d_obj_weight, ac_loss_weight=a.ac_loss_weight,
+            box_loss_gated=bool(a.box_loss_gated)),
         train=TrainConfig(num_iterations=a.num_iterations,
                           learning_rate=a.learning_rate,
                           mask_learning_rate=a.mask_learning_rate,

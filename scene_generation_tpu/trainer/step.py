@@ -81,7 +81,8 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
         if lw.l1_pixel_loss_weight > 0:
             l1 = L.l1_loss(out.imgs_pred, imgs) * use_gt
             terms["L1_pixel_loss"] = l1 * lw.l1_pixel_loss_weight
-        loss_bbox = L.mse_loss(out.boxes_pred, boxes, w=obj_mask) * use_gt
+        box_gate = use_gt if lw.box_loss_gated else jnp.float32(1.0)
+        loss_bbox = L.mse_loss(out.boxes_pred, boxes, w=obj_mask) * box_gate
         terms["bbox_pred"] = loss_bbox * lw.bbox_pred_loss_weight
 
         if mods.vgg is not None:

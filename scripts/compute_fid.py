@@ -39,7 +39,15 @@ def main():
     p.add_argument("--real_dir", required=True)
     p.add_argument("--fake_dir", required=True)
     p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (small image sets compile "
+                        "faster than a remote-TPU round trip)")
+    p.add_argument("--out_json", default=None)
     a = p.parse_args()
+
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from scene_generation_tpu.metrics_fid import FIDAccumulator
     fid = FIDAccumulator()
@@ -52,6 +60,10 @@ def main():
         n_fake += len(batch)
     score = fid.compute()
     print(f"FID({n_real} real, {n_fake} fake) = {score:.4f}")
+    if a.out_json:
+        import json
+        with open(a.out_json, "w") as f:
+            json.dump({"fid": score, "n_real": n_real, "n_fake": n_fake}, f)
 
 
 if __name__ == "__main__":

@@ -91,3 +91,35 @@ def test_determinism():
         _, m = step(state, batch)
         outs.append(float(m["total_loss"]))
     assert outs[0] == outs[1]
+
+
+def test_box_loss_gating():
+    """box_loss_gated=True (reference parity, trainer.py:210-216) zeroes
+    bbox_pred on use_gt=0 steps; False supervises boxes every step."""
+    import dataclasses
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, seed=3)
+
+    # Find an rng whose in-step split yields use_gt == 0.
+    key = None
+    for seed in range(20):
+        k = jax.random.PRNGKey(seed)
+        _, _, r_gt, _ = jax.random.split(k, 4)
+        if not bool(jax.random.bernoulli(r_gt)):
+            key = k
+            break
+    assert key is not None
+
+    losses = {}
+    for gated in (True, False):
+        c = cfg.replace(loss=dataclasses.replace(cfg.loss,
+                                                 box_loss_gated=gated))
+        mods, state = create_train_state(c, jax.random.PRNGKey(0), batch,
+                                         load_vgg=False)
+        state = state.replace(rng=key)
+        step = make_train_step(mods, donate=False)
+        _, m = step(state, batch)
+        assert float(m["use_gt"]) == 0.0
+        losses[gated] = float(m["bbox_pred"])
+    assert losses[True] == 0.0
+    assert losses[False] > 0.0
