@@ -177,9 +177,15 @@ def bench_inference(batch_size):
     return rate, mfu
 
 
-def bench_train_step(k_time=8):
-    """Full adversarial step (G + 3 D updates), batch 12 f32, production
-    config (Pallas train compositor on TPU)."""
+def bench_train_step(k_time=8, compute_dtype="float32"):
+    """Full adversarial step (G + VGG perceptual + 3 D updates), batch 12,
+    production config (Pallas train compositor on TPU).
+
+    load_vgg=True: the perceptual loss is part of the production generator
+    update (trainer.py:219-224); round-1 benched without it and
+    underreported the full step time.
+    """
+    import dataclasses
     import jax
     from scene_generation_tpu.config import Config
     from scene_generation_tpu.data import synthetic_batch
@@ -187,28 +193,38 @@ def bench_train_step(k_time=8):
     from scene_generation_tpu.trainer.step import make_train_step
 
     cfg = Config()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, compute_dtype=compute_dtype))
     batch = synthetic_batch(cfg, seed=0)
     t0 = time.perf_counter()
     mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
-                                     load_vgg=False)
+                                     load_vgg=True)
     step = make_train_step(mods, donate=False)
     state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["total_loss"])
+    float(metrics["total_loss"])  # real sync: block_until_ready is a
+    #                               no-op under the axon tunnel, so an
+    #                               actual readback must drain the queue
     log(f"[train] first step done {time.perf_counter() - t0:.1f}s "
         f"(incl. init+compile)")
     import numpy as np
-    ts = []
-    for _ in range(3):
-        s = state
-        t0 = time.perf_counter()
-        m = None
-        for _ in range(k_time):
-            s, m = step(s, batch)
-        jax.block_until_ready(m["total_loss"])
-        ts.append((time.perf_counter() - t0) / k_time)
-    dt = float(np.min(ts))
+
+    def chain(k):
+        ts = []
+        for _ in range(3):
+            s, m = state, None
+            t0 = time.perf_counter()
+            for _ in range(k):
+                s, m = step(s, batch)
+            float(m["total_loss"])
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t1 = chain(1)
+    tk = chain(k_time)
+    dt = (tk - t1) / (k_time - 1)
     n = batch.imgs.shape[0]
-    log(f"[train] {dt * 1e3:.1f} ms/step (batch {n}, {n / dt:.1f} img/s)")
+    log(f"[train] t1={t1:.3f}s tK={tk:.3f}s -> {dt * 1e3:.1f} ms/step "
+        f"(batch {n}, {n / dt:.1f} img/s)")
     return dt, n
 
 
@@ -236,6 +252,12 @@ def main():
         extra["train_images_per_sec"] = round(n / dt, 2)
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"train-step bench failed: {type(e).__name__}: {e}")
+    try:
+        dt, n = bench_train_step(compute_dtype="bfloat16")
+        extra["train_ms_per_step_b12_bf16"] = round(dt * 1e3, 2)
+        extra["train_images_per_sec_bf16"] = round(n / dt, 2)
+    except Exception as e:  # pragma: no cover - degraded mode
+        log(f"bf16 train-step bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "inference_images_per_sec_128px",

@@ -55,6 +55,14 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--gconv_num_layers", type=int, default=5)
     p.add_argument("--n_downsample_global", type=int, default=4)
     p.add_argument("--use_attributes", type=int, default=1)
+    p.add_argument("--compute_dtype",
+                   choices=["float32", "bfloat16", "float16"],
+                   default="float32",
+                   help="generator/model conv+matmul compute dtype; "
+                        "params, optimizer math, loss reductions and norm "
+                        "stats stay f32; discriminators/VGG are bf16 "
+                        "regardless (DiscConfig). Loss curves track f32 "
+                        "within noise (RESULTS.md section 8)")
     p.add_argument("--box_net_final", choices=["relu", "none"],
                    default="relu",
                    help="terminal box-head nonlinearity; 'relu' is "
@@ -103,8 +111,12 @@ def parse_args(argv=None) -> argparse.Namespace:
 def config_from_args(a: argparse.Namespace) -> Config:
     if a.tiny:
         cfg = tiny_config()
-        cfg = cfg.replace(model=dataclasses.replace(
-            cfg.model, box_net_final=a.box_net_final))
+        cfg = cfg.replace(
+            model=dataclasses.replace(cfg.model,
+                                      compute_dtype=a.compute_dtype,
+                                      box_net_final=a.box_net_final),
+            loss=dataclasses.replace(cfg.loss,
+                                     box_loss_gated=bool(a.box_loss_gated)))
         return cfg.replace(train=dataclasses.replace(
             cfg.train, num_iterations=a.num_iterations,
             print_every=a.print_every, checkpoint_every=a.checkpoint_every,
@@ -124,6 +136,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
                           gconv_num_layers=a.gconv_num_layers,
                           n_downsample_global=a.n_downsample_global,
                           use_attributes=bool(a.use_attributes),
+                          compute_dtype=a.compute_dtype,
                           box_net_final=a.box_net_final),
         loss=LossConfig(
             l1_pixel_loss_weight=a.l1_pixel_loss_weight,

@@ -55,6 +55,8 @@ def main():
     rng = np.random.RandomState(a.seed)
 
     dists = []
+    baseline = []  # between-DIFFERENT-scene LPIPS: scale anchor for the
+    #                relative-only fallback (diversity/baseline is unitless)
     for batch in loader:
         if len(dists) >= a.num_samples:
             break
@@ -64,9 +66,16 @@ def main():
         out2 = model.forward_batch(batch, features=f2)
         d = lpips_fn(out1.imgs_pred, out2.imgs_pred)
         dists.extend(np.asarray(d).tolist())
+        b = lpips_fn(out1.imgs_pred, np.roll(np.asarray(out1.imgs_pred),
+                                             1, axis=0))
+        baseline.extend(np.asarray(b).tolist())
     dists = np.asarray(dists[:a.num_samples])
+    baseline = np.asarray(baseline[:a.num_samples])
     result = {"diversity_lpips_mean": float(dists.mean()),
               "diversity_lpips_std": float(dists.std()),
+              "between_scene_lpips_mean": float(baseline.mean()),
+              "diversity_over_between_scene": float(
+                  dists.mean() / max(baseline.mean(), 1e-12)),
               "n": int(dists.size), "pretrained": bool(loaded)}
     print(json.dumps(result))
     if a.out_json:

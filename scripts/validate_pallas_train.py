@@ -108,22 +108,27 @@ def validate_op():
         assert max_abs < 5e-3 * scale, f"grad mismatch: {name}"
     log("[op] PARITY OK (fwd + all grads)")
 
-    # --- timing: chain K dependent calls, one readback ---
+    # --- timing: chain K dependent calls; a float() readback is the only
+    # real sync under the axon tunnel (block_until_ready is a NO-OP there,
+    # so the old block-based loop measured dispatch, not compute). The
+    # K=1 baseline subtraction removes the readback round trip.
+    def chain_once(fn, args, k):
+        a = args
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(k):
+            r = fn(*a)
+            first = r[0] if isinstance(r, tuple) else r
+            a = (args[0] + jnp.mean(first).astype(args[0].dtype) * 1e-9,
+                 ) + args[1:]
+        first = r[0] if isinstance(r, tuple) else r
+        float(jnp.mean(first))
+        return time.perf_counter() - t0
+
     def time_chain(fn, args, k=20, repeats=3):
-        ts = []
-        for _ in range(repeats):
-            a = args
-            t0 = time.perf_counter()
-            r = None
-            for _ in range(k):
-                r = fn(*a)
-                # tie next call to this result (cheap, keeps it sequential)
-                first = r[0] if isinstance(r, tuple) else r
-                a = (args[0] + jnp.mean(first).astype(args[0].dtype) * 1e-9,
-                     ) + args[1:]
-            jax.block_until_ready(r)
-            ts.append((time.perf_counter() - t0) / k)
-        return min(ts)
+        t1 = min(chain_once(fn, args, 1) for _ in range(repeats))
+        tk = min(chain_once(fn, args, k) for _ in range(repeats))
+        return (tk - t1) / (k - 1)
 
     for backend in ("xla", "pallas"):
         fwd, lag = make_fns(backend)
@@ -148,8 +153,11 @@ def validate_step(k_time=10):
         cfg = base.replace(model=dataclasses.replace(
             base.model, train_compositor_backend=backend))
         t0 = time.perf_counter()
+        # load_vgg=True: production fidelity — round-1 validated without
+        # the VGG perceptual term, and its 81-95 ms/step was quoted as the
+        # "full" step time (see bench.py for the corrected measurement).
         mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
-                                         load_vgg=False)
+                                         load_vgg=True)
         step = make_train_step(mods, donate=False)
         state1, metrics = step(state, batch)
         jax.block_until_ready(metrics)
@@ -157,17 +165,22 @@ def validate_step(k_time=10):
             f"({time.perf_counter()-t0:.1f}s incl. init+compile)")
         scal = {k: float(v) for k, v in metrics.items()
                 if not k.startswith("_")}
-        # timing: chain K steps (state feeds forward), single readback
-        ts = []
-        for _ in range(3):
-            s = state1
-            t0 = time.perf_counter()
-            m = None
-            for _ in range(k_time):
-                s, m = step(s, batch)
-            jax.block_until_ready(m["total_loss"])
-            ts.append((time.perf_counter() - t0) / k_time)
-        return scal, min(ts)
+        # timing: chain K steps (state feeds forward); float() readback is
+        # the only real sync under the tunnel; K=1 baseline subtracted.
+        def chain_steps(k):
+            ts = []
+            for _ in range(3):
+                s, m = state1, None
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    s, m = step(s, batch)
+                float(m["total_loss"])
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t1 = chain_steps(1)
+        tk = chain_steps(k_time)
+        return scal, (tk - t1) / (k_time - 1)
 
     m_x, t_x = run("xla")
     m_p, t_p = run("pallas")
