@@ -313,3 +313,32 @@ def test_resnet101_full_logits_parity_random_weights(tmp_path):
     want = torch_resnet101_logits(
         sd, torch.as_tensor(x.transpose(0, 3, 1, 2))).numpy()
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-3, rtol=1e-3)
+
+
+def test_shallow_features_fallback_discriminates():
+    """The no-weights FID fallback must stay input-dependent (deep
+    random-init Inception pool3 features collapse to constants — std
+    ~3e-6 across images — which made FID degenerate to exactly 0)."""
+    from scene_generation_tpu.metrics_fid import (FIDAccumulator,
+                                                  create_shallow_features_fn)
+    fn = create_shallow_features_fn()
+    rng = np.random.RandomState(0)
+    a = (rng.rand(8, 64, 64, 3).astype(np.float32)) * 2 - 1
+    f = np.asarray(fn(a))
+    assert f.shape == (8, 960)
+    # Input-dependence: per-feature std across the batch is far from 0.
+    assert float(f.std(axis=0).mean()) > 1e-3
+    # Determinism (fixed seed): two instances agree.
+    f2 = np.asarray(create_shallow_features_fn()(a))
+    np.testing.assert_allclose(f, f2, rtol=1e-6)
+
+    def fid_of(fake):
+        acc = FIDAccumulator(features_fn=fn)
+        acc.add_real(a)
+        acc.add_fake(fake)
+        return acc.compute()
+
+    same = fid_of(a)
+    shifted = fid_of(np.clip(a * 0.2, -1, 1))
+    assert abs(same) < 1e-3
+    assert shifted > 10 * max(same, 1e-6)
