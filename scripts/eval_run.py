@@ -1,0 +1,141 @@
+"""One-command post-training evaluation pipeline.
+
+Reproduces the full quality-evidence protocol used for RESULTS.md on a
+finished training run (the reference splits this across sample_images.py
++ three third-party repos, README.md:77-82):
+
+  1. encode_features  -> per-class appearance clusters (k=100/10/1)
+  2. sample_images    -> GT-layout / GT-attr / scene-graph-only modes
+                         (IoU, recall@0.5/0.3, per-image pngs)
+  3. FID              -> real-vs-generated for the gtlayout + sg modes
+  4. diversity        -> LPIPS between two appearance draws per scene
+  5. grids + curves   -> labeled grids per mode, training-curve panels
+
+Usage:
+  python scripts/eval_run.py --output_dir runs/r2_ungated \
+      --log runs/r2_ungated.log [--synthetic] [--num_samples 60]
+
+Each stage is skipped if its outputs already exist (delete to redo);
+stages run serially so only one TPU job touches the chip at a time.
+"""
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+
+
+def sh(args):
+    print("+ " + " ".join(args), flush=True)
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache")
+    subprocess.run(args, check=True, cwd=REPO, env=env)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--checkpoint_name", default="checkpoint")
+    p.add_argument("--log", default=None,
+                   help="training log for the curves panel")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--coco_dir", default="datasets/coco")
+    p.add_argument("--num_samples", type=int, default=60)
+    p.add_argument("--encode_samples", type=int, default=512)
+    p.add_argument("--diversity_samples", type=int, default=32)
+    p.add_argument("--skip_diversity", action="store_true")
+    a = p.parse_args()
+
+    out = a.output_dir
+    py = sys.executable
+    data_flags = (["--synthetic"] if a.synthetic
+                  else ["--coco_dir", a.coco_dir])
+
+    # 1. appearance clusters
+    if not os.path.exists(os.path.join(out, "features_clustered_100.npy")):
+        sh([py, "scripts/encode_features.py", "--output_dir", out,
+            "--checkpoint_name", a.checkpoint_name,
+            "--num_samples", str(a.encode_samples), "--batch_size", "8",
+            "--save_dir", out] + data_flags)
+
+    feats = os.path.join(out, "features_clustered_100.npy")
+
+    # 2. sampling modes (reference Figure-3 ablations, README.md:84-94)
+    modes = {
+        "gtlayout": ["--use_gt_boxes", "1", "--use_gt_masks", "1"],
+        "gtattr": ["--use_gt_attr", "1"],
+        "sg": [],
+    }
+    for name, flags in modes.items():
+        d = os.path.join(out, f"samples_{name}")
+        if os.path.exists(os.path.join(d, "results.json")):
+            continue
+        sh([py, "scripts/sample_images.py", "--output_dir", out,
+            "--checkpoint_name", a.checkpoint_name,
+            "--features_path", feats,
+            "--num_samples", str(a.num_samples), "--batch_size", "8",
+            "--save_dir", d, "--save_layouts", "1"] + flags + data_flags)
+
+    # 3. FID dirs + scores (real pngs are identical across modes)
+    fid_real = os.path.join(out, "fid_real")
+    if not os.path.isdir(fid_real):
+        os.makedirs(fid_real)
+        src = os.path.join(out, "samples_gtattr")
+        for f in sorted(os.listdir(src)):
+            if f.endswith("_gt.png"):
+                shutil.copy(os.path.join(src, f), fid_real)
+    for name in ("gtlayout", "sg"):
+        fake = os.path.join(out, f"fid_fake_{name}")
+        if not os.path.isdir(fake):
+            os.makedirs(fake)
+            src = os.path.join(out, f"samples_{name}")
+            for f in sorted(os.listdir(src)):
+                if f.endswith("_pred.png"):
+                    shutil.copy(os.path.join(src, f), fake)
+        res = os.path.join(out, f"fid_{name}.json")
+        if not os.path.exists(res):
+            sh([py, "scripts/compute_fid.py", "--cpu",
+                "--real_dir", fid_real, "--fake_dir", fake,
+                "--out_json", res])
+
+    # 4. diversity
+    div = os.path.join(out, "diversity.json")
+    if not a.skip_diversity and not os.path.exists(div):
+        sh([py, "scripts/compute_diversity.py", "--output_dir", out,
+            "--checkpoint_name", a.checkpoint_name,
+            "--features_path", feats,
+            "--num_samples", str(a.diversity_samples),
+            "--batch_size", "8", "--out_json", div] + data_flags)
+
+    # 5. grids + curves
+    for name in ("gtlayout", "sg", "gtattr"):
+        grid = os.path.join(out, f"grid_{name}.png")
+        if not os.path.exists(grid):
+            sh([py, "scripts/make_grid.py",
+                "--samples_dir", os.path.join(out, f"samples_{name}"),
+                "--out", grid])
+    if a.log and not os.path.exists(os.path.join(out, "curves.png")):
+        sh([py, "scripts/plot_training.py", "--log", a.log,
+            "--out", os.path.join(out, "curves.png")])
+
+    # summary
+    summary = {}
+    for name in modes:
+        r = os.path.join(out, f"samples_{name}", "results.json")
+        if os.path.exists(r):
+            summary[f"samples_{name}"] = json.load(open(r))
+    for name in ("gtlayout", "sg"):
+        r = os.path.join(out, f"fid_{name}.json")
+        if os.path.exists(r):
+            summary[f"fid_{name}"] = json.load(open(r))
+    if os.path.exists(div):
+        summary["diversity"] = json.load(open(div))
+    print(json.dumps(summary, indent=1))
+    with open(os.path.join(out, "eval_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
