@@ -91,15 +91,22 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Scan identical resblocks (fast compiles) vs unroll (max throughput).
     scan_blocks: bool = True
-    # Compositor backend for the TRAIN path: 'auto' (default) picks the
-    # custom-VJP Pallas kernel pair on TPU and the autodiff'd XLA path
-    # elsewhere. Hardware-validated on 1x v5e (scripts/
-    # validate_pallas_train.py): gradient parity vs XLA at highest matmul
-    # precision (max rel diff ~1e-5 on vecs/masks, 2e-7 on boxes) and
-    # first-step loss parity on the full adversarial step; 81.2 ms/step vs
-    # 83.9 xla (batch 12 f32, 1.034x). The inference path always uses
-    # 'auto'.
+    # Compositor backends: 'auto' | 'xla' | 'pallas'. Gradient/output
+    # parity of the Pallas kernels vs XLA is hardware-validated
+    # (scripts/validate_pallas_train.py: max rel diff ~1e-5 on
+    # vecs/masks, 2e-7 on boxes, full-step loss parity). Timing with
+    # honest forced-readback sync (2026-08-17, 1x v5e) shows the backends
+    # within noise at the step level (xla 74.6 vs pallas 74.8 ms/step)
+    # and XLA ahead on the op-level backward (0.6 vs 4.8 ms), so 'auto'
+    # resolves to XLA for training; the Pallas pair remains available and
+    # parity-tested. (Round-1 timings claiming pallas wins used
+    # block_until_ready, a no-op under the axon tunnel.)
     train_compositor_backend: str = "auto"
+    # Inference/test-mode compositor backend (model.py test path): 'auto'
+    # resolves to the fused Pallas occlusion compositor on TPU — measured
+    # +24% end-to-end serving (1237 vs 996 img/s @ batch 16 bf16,
+    # forced-readback A/B 2026-08-17).
+    test_compositor_backend: str = "auto"
     # Rematerialize generator resblocks in backward (memory for FLOPs).
     remat_generator: bool = False
     # Terminal nonlinearity of the box head: "relu" = reference parity

@@ -164,7 +164,8 @@ class SceneModel(nn.Module):
             with jax.named_scope("compositor"):
                 layout_pred = masks_to_layout(
                     layout_vecs, boxes.astype(dtype), masks.astype(dtype),
-                    obj_mask, h, w, test_mode=True, backend="auto")
+                    obj_mask, h, w, test_mode=True,
+                    backend=cfg.test_compositor_backend)
             with jax.named_scope("generator"):
                 imgs_pred = self.layout_to_image(layout_pred).astype(
                     jnp.float32)

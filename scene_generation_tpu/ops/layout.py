@@ -57,8 +57,13 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
       test_mode: if True use occlusion-ordered compositing (layout.py:157-169)
         instead of summation over objects (layout.py:149-155).
       backend: 'xla' | 'pallas' | 'auto'. 'auto' picks the fused Pallas
-        kernels on TPU (inference: fused occlusion compositor; training:
-        custom-VJP forward/backward pair) and XLA elsewhere.
+        occlusion compositor for TEST mode on TPU (+24% end-to-end
+        serving: 1237 vs 996 img/s @ batch 16 bf16, measured 2026-08-17
+        with forced-readback timing) and XLA everywhere else — including
+        the TRAIN path, where the custom-VJP Pallas pair is step-level
+        indistinguishable (74.8 vs 74.6 ms) and op-level slower in
+        backward (4.8 vs 0.6 ms); it stays available as
+        backend='pallas' and parity-tested.
       interpret: run the Pallas kernels in interpret mode (CPU testing of
         the production prep path; ignored for the XLA backend).
 
@@ -69,7 +74,9 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
         w = h
     dtype = vecs.dtype
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = ("pallas" if (test_mode
+                                and jax.default_backend() == "tpu")
+                   else "xla")
     if backend == "pallas":
         return _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
                                        test_mode, interpret)

@@ -78,7 +78,9 @@ def validate(hh):
         assert diff < 5e-3 * scale, name
     log(f"[crop{hh}] PARITY OK")
 
-    def chain(fn, k=30):
+    def chain(fn, k=400):
+        # k must be large: these ops are ~0.1 ms, so the K=1-subtracted
+        # marginal time needs K >> (tunnel jitter / op time) to resolve.
         # One device executes enqueued calls in order; K dispatches + one
         # float() readback (block_until_ready is a NO-OP under the axon
         # tunnel) amortize tunnel latency; K=1 baseline subtracted.
