@@ -22,6 +22,11 @@ def parse_args():
     p.add_argument("--coco_dir", default="datasets/coco")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=int, default=128)
+    p.add_argument("--small_net", action="store_true",
+                   help="small ResNet (stage sizes 1,1,1,1) at 32px crops "
+                        "on the FULL data config — matches sample_images "
+                        "--accuracy_tiny for environments without the "
+                        "pretrained resnet101 checkpoint")
     p.add_argument("--tiny", action="store_true",
                    help="small resnet + small crops (CI)")
     p.add_argument("--num_classes", type=int, default=None)
@@ -66,14 +71,15 @@ def main():
         num_classes = dset.num_classes
     num_classes = a.num_classes or num_classes
 
-    crop = 32 if a.tiny else a.crop_size
+    small = a.tiny or a.small_net
+    crop = 32 if small else a.crop_size
     model = (ResNet(stage_sizes=(1, 1, 1, 1), num_classes=num_classes)
-             if a.tiny else resnet101(num_classes))
+             if small else resnet101(num_classes))
     rng = jax.random.PRNGKey(a.seed)
     variables = jax.jit(lambda k: model.init(
         k, jnp.zeros((1, crop, crop, 3)), train=False))(rng)
     variables = dict(variables)
-    if not a.tiny:
+    if not small:
         variables, loaded = load_torch_resnet(variables, skip_fc=True)
         print(f"pretrained resnet101 weights loaded: {loaded}")
 
