@@ -46,6 +46,10 @@ def main():
     p.add_argument("--encode_samples", type=int, default=512)
     p.add_argument("--diversity_samples", type=int, default=32)
     p.add_argument("--skip_diversity", action="store_true")
+    p.add_argument("--accuracy_model_path", default=None,
+                   help="accuracy-net checkpoint (train_accuracy_net.py); "
+                        "adds the object-accuracy stage")
+    p.add_argument("--accuracy_tiny", type=int, default=1)
     a = p.parse_args()
 
     out = a.output_dir
@@ -109,6 +113,20 @@ def main():
             "--num_samples", str(a.diversity_samples),
             "--batch_size", "8", "--out_json", div] + data_flags)
 
+    # 4b. object accuracy of generated crops (reference protocol #4)
+    if a.accuracy_model_path:
+        d = os.path.join(out, "samples_acc")
+        if not os.path.exists(os.path.join(d, "results.json")):
+            sh([py, "scripts/sample_images.py", "--output_dir", out,
+                "--checkpoint_name", a.checkpoint_name,
+                "--features_path", feats,
+                "--num_samples", str(a.num_samples), "--batch_size", "8",
+                "--use_gt_attr", "1", "--use_gt_boxes", "1",
+                "--accuracy_model_path", a.accuracy_model_path,
+                "--accuracy_tiny", str(a.accuracy_tiny),
+                "--save_dir", d, "--save_imgs", "0", "--save_layouts", "0"]
+               + data_flags)
+
     # 5. grids + curves
     for name in ("gtlayout", "sg", "gtattr"):
         grid = os.path.join(out, f"grid_{name}.png")
@@ -122,6 +140,10 @@ def main():
 
     # summary
     summary = {}
+    acc_res = os.path.join(out, "samples_acc", "results.json")
+    if os.path.exists(acc_res):
+        summary["object_accuracy"] = json.load(open(acc_res)).get(
+            "object_accuracy")
     for name in modes:
         r = os.path.join(out, f"samples_{name}", "results.json")
         if os.path.exists(r):
