@@ -89,13 +89,22 @@ class FIDAccumulator:
     def __init__(self, features_fn=None):
         if features_fn is None:
             from scene_generation_tpu.models.inception import (
-                create_inception_features_fn)
-            features_fn, loaded = create_inception_features_fn()
-            if not loaded:
+                _torch_checkpoint_path, create_inception_features_fn)
+            if _torch_checkpoint_path() is None:
+                # Skip the (costly) InceptionV3 init entirely when no
+                # weight file exists — its random-init features are
+                # degenerate anyway (constant across images).
                 print("[metrics_fid] WARNING: no InceptionV3 weights; "
                       "falling back to a shallow fixed-seed random-CNN "
                       "extractor — FID values are relative-only")
                 features_fn = create_shallow_features_fn()
+            else:
+                features_fn, loaded = create_inception_features_fn()
+                if not loaded:  # present but unreadable file
+                    print("[metrics_fid] WARNING: InceptionV3 weight file "
+                          "found but not loadable; using the shallow "
+                          "random-CNN fallback")
+                    features_fn = create_shallow_features_fn()
         self.features_fn = features_fn
         self._real: List[np.ndarray] = []
         self._fake: List[np.ndarray] = []

@@ -127,3 +127,27 @@ def test_jit_and_grad():
 
     g = jax.grad(f)(jnp.asarray(vecs), jnp.asarray(boxes), jnp.asarray(masks))
     assert all(np.all(np.isfinite(np.asarray(x))) for x in g)
+
+
+def test_backend_auto_resolution_per_path():
+    """'auto' = XLA for the train path everywhere and for test mode off-TPU
+    (the Pallas occlusion compositor only wins test-mode serving on TPU:
+    +24% measured; the train pair measured op-level slower — RESULTS.md
+    section 10). On CPU both must take the XLA branch and agree with the
+    explicit backend."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scene_generation_tpu.ops.layout import masks_to_layout
+
+    rng = np.random.RandomState(0)
+    v = jnp.asarray(rng.rand(2, 3, 4), jnp.float32)
+    b = jnp.asarray([[[0.1, 0.1, 0.6, 0.5], [0.3, 0.2, 0.9, 0.8],
+                      [0.0, 0.0, 1.0, 1.0]]] * 2, jnp.float32)
+    m = jnp.asarray(rng.rand(2, 3, 8, 8), jnp.float32)
+    om = jnp.ones((2, 3), jnp.float32)
+    for test_mode in (False, True):
+        auto = masks_to_layout(v, b, m, om, 16, 16, test_mode=test_mode,
+                               backend="auto")
+        xla = masks_to_layout(v, b, m, om, 16, 16, test_mode=test_mode,
+                              backend="xla")
+        np.testing.assert_array_equal(np.asarray(auto), np.asarray(xla))
