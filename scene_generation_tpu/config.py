@@ -107,6 +107,16 @@ class ModelConfig:
     # +24% end-to-end serving (1237 vs 996 img/s @ batch 16 bf16,
     # forced-readback A/B 2026-08-17).
     test_compositor_backend: str = "auto"
+    # 0 = reference parity: layout class channels are a num_objs one-hot
+    # (204 total at COCO scale). >0 = composite a LEARNED class embedding
+    # of this dim instead. Motivation (measured, RESULTS.md §13): the
+    # generator's 7x7 stem on the 204-channel layout runs at 16% of peak
+    # and is 21.8 of 47.9 ms/batch-64 serving; stem wall time scales with
+    # input channels (128ch -> 10.9 ms), so embed_dim 64 cuts the stem
+    # ~2.2x and shrinks every layout-sized tensor (compositor, D_img
+    # conditioning) ~2x. Changes the trained architecture — checkpoints
+    # are not interchangeable with the one-hot form.
+    layout_embed_dim: int = 0
     # Rematerialize generator resblocks in backward (memory for FLOPs).
     remat_generator: bool = False
     # Terminal nonlinearity of the box head: "relu" = reference parity
@@ -128,8 +138,10 @@ class ModelConfig:
 
     @property
     def layout_nc(self) -> int:
-        # model.py:87 — one-hot(class) ++ appearance repr.
-        return self.num_objs + self.rep_size
+        # model.py:87 — class channels ++ appearance repr. Reference: the
+        # class part is a num_objs one-hot; layout_embed_dim replaces it
+        # with a learned embedding (see the field's comment).
+        return (self.layout_embed_dim or self.num_objs) + self.rep_size
 
 
 @dataclass(frozen=True)

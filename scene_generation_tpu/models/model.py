@@ -36,6 +36,9 @@ class ModelOutput(NamedTuple):
     layout_pred: jax.Array                # predicted-mask layout
     layout_wrong: Optional[jax.Array]     # wrong-texture layout (train)
     obj_repr: jax.Array                   # (N, O, rep_size) appearance vecs
+    cls_vecs: jax.Array                   # (N, O, Ccls) layout class part:
+    #                                       one-hot or learned embedding
+    #                                       (config.py layout_embed_dim)
 
 
 class SceneModel(nn.Module):
@@ -49,6 +52,13 @@ class SceneModel(nn.Module):
                                        dtype=dtype)
         self.pred_embeddings = nn.Embed(cfg.num_preds, cfg.embedding_dim,
                                         dtype=dtype)
+        if cfg.layout_embed_dim:
+            # Learned replacement for the one-hot layout class channels
+            # (config.py layout_embed_dim) — unit-scale init so layout
+            # magnitudes match the one-hot form it replaces.
+            self.class_embed = nn.Embed(
+                cfg.num_objs, cfg.layout_embed_dim, dtype=dtype,
+                embedding_init=nn.initializers.normal(1.0))
         attributes_dim = cfg.num_attributes if cfg.use_attributes else 0
         self._attributes_dim = attributes_dim
         if cfg.gconv_num_layers == 0:
@@ -147,8 +157,12 @@ class SceneModel(nn.Module):
             fm = features_mask[..., None].astype(obj_repr.dtype)
             obj_repr = fm * features.astype(obj_repr.dtype) + (1 - fm) * obj_repr
 
-        one_hot = jax.nn.one_hot(objs, cfg.num_objs, dtype=obj_repr.dtype)
-        layout_vecs = jnp.concatenate([one_hot, obj_repr], axis=-1)
+        if cfg.layout_embed_dim:
+            cls_vecs = self.class_embed(objs).astype(obj_repr.dtype)
+        else:
+            cls_vecs = jax.nn.one_hot(objs, cfg.num_objs,
+                                      dtype=obj_repr.dtype)
+        layout_vecs = jnp.concatenate([cls_vecs, obj_repr], axis=-1)
 
         # --- boxes (model.py:103) + masks (model.py:106-107) ---
         boxes_pred = self.box_net(box_vecs, train=train).astype(jnp.float32)
@@ -171,7 +185,8 @@ class SceneModel(nn.Module):
                     jnp.float32)
             return ModelOutput(imgs_pred, boxes_pred, masks_pred, None,
                                layout_pred.astype(jnp.float32), None,
-                               obj_repr.astype(jnp.float32))
+                               obj_repr.astype(jnp.float32),
+                               cls_vecs.astype(jnp.float32))
 
         # Train: image is generated from the GT layout; predicted boxes and
         # masks train only through their own losses (model.py:119-123).
@@ -186,7 +201,7 @@ class SceneModel(nn.Module):
             if wrong_rep is None:
                 wrong_rep = obj_repr
             wrong_vecs = jnp.concatenate(
-                [one_hot, wrong_rep.astype(obj_repr.dtype)], axis=-1)
+                [cls_vecs, wrong_rep.astype(obj_repr.dtype)], axis=-1)
             layout_wrong = masks_to_layout(wrong_vecs, boxes_gt, masks_gt,
                                            obj_mask, h, w, test_mode=False,
                                            backend=backend)
@@ -196,7 +211,8 @@ class SceneModel(nn.Module):
                            layout.astype(jnp.float32),
                            layout_pred.astype(jnp.float32),
                            layout_wrong.astype(jnp.float32),
-                           obj_repr.astype(jnp.float32))
+                           obj_repr.astype(jnp.float32),
+                           cls_vecs.astype(jnp.float32))
 
     def encode_crops(self, crops_flat: jax.Array, train: bool = False,
                      weights: Optional[jax.Array] = None) -> jax.Array:

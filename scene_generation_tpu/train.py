@@ -63,6 +63,12 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "stats stay f32; discriminators/VGG are bf16 "
                         "regardless (DiscConfig). Loss curves track f32 "
                         "within noise (RESULTS.md section 8)")
+    p.add_argument("--layout_embed_dim", type=int, default=0,
+                   help="0 (reference parity): one-hot layout class "
+                        "channels; >0: composite a learned class "
+                        "embedding of this dim instead — cuts the "
+                        "generator stem cost ~(num_objs/dim)x "
+                        "(config.py ModelConfig.layout_embed_dim)")
     p.add_argument("--box_net_final", choices=["relu", "none"],
                    default="relu",
                    help="terminal box-head nonlinearity; 'relu' is "
@@ -137,6 +143,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
                           n_downsample_global=a.n_downsample_global,
                           use_attributes=bool(a.use_attributes),
                           compute_dtype=a.compute_dtype,
+                          layout_embed_dim=a.layout_embed_dim,
                           box_net_final=a.box_net_final),
         loss=LossConfig(
             l1_pixel_loss_weight=a.l1_pixel_loss_weight,

@@ -161,9 +161,12 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
                                  objs.reshape(n * o),
                                  obj_repr_d.reshape(n * o, mc.rep_size),
                                  flat_w)
+    # Class part of the layout vectors: one-hot, or the model's learned
+    # class embedding when layout_embed_dim is set (already a constant
+    # w.r.t. the D updates after stop_gradient).
+    cls_vecs_d = jax.lax.stop_gradient(out.cls_vecs)
     wrong_vecs = jnp.concatenate(
-        [one_hot_flat.reshape(n, o, mc.num_objs),
-         wrong_rep.reshape(n, o, mc.rep_size)], axis=-1)
+        [cls_vecs_d, wrong_rep.reshape(n, o, mc.rep_size)], axis=-1)
     layout_wrong = masks_to_layout(wrong_vecs, boxes, masks, obj_mask, h, w,
                                    backend=mc.train_compositor_backend)
 
@@ -262,7 +265,8 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
     # skip them when scalarizing. Device->host transfer only happens if the
     # host actually fetches them.
     metrics["_imgs_pred"] = imgs_pred_d
-    metrics["_layout_one_hot"] = layout_d[..., :mc.num_objs]
+    cls_nc = mc.layout_embed_dim or mc.num_objs
+    metrics["_layout_one_hot"] = layout_d[..., :cls_nc]
     metrics["_layout_pred_one_hot"] = jax.lax.stop_gradient(
-        out.layout_pred)[..., :mc.num_objs]
+        out.layout_pred)[..., :cls_nc]
     return new_state, metrics

@@ -123,3 +123,25 @@ def test_box_loss_gating():
         losses[gated] = float(m["bbox_pred"])
     assert losses[True] == 0.0
     assert losses[False] > 0.0
+
+
+def test_layout_embed_dim_step():
+    """Opt-in learned layout class embedding (config layout_embed_dim):
+    full adversarial step runs, is finite, and the layout/D_img channel
+    plumbing follows layout_nc. Reference-parity default (0 = one-hot) is
+    covered by every other test."""
+    import dataclasses
+    cfg = tiny_config()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                layout_embed_dim=8))
+    assert cfg.model.layout_nc == 8 + cfg.model.rep_size
+    batch = synthetic_batch(cfg, seed=1)
+    mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                     load_vgg=False)
+    step = make_train_step(mods, donate=False)
+    _, m = step(state, batch)
+    for k, v in m.items():
+        if k.startswith("_"):
+            continue
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert m["_layout_one_hot"].shape[-1] == 8
