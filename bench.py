@@ -72,7 +72,10 @@ def analytic_generator_gflops(mc, batch):
     counted at their input resolution (equivalent work)."""
     h, w = mc.image_size
     ngf = mc.ngf
-    d = mc.num_objs + mc.rep_size
+    # layout_nc tracks the CONFIGURED stem input channels (num_objs one-hot
+    # channels, or layout_embed_dim when the learned embedding is on) so
+    # the MFU denominator stays honest for embedded-layout configs.
+    d = mc.layout_nc
     total = 2 * h * w * 49 * d * ngf                      # 7x7 stem
     ch, res = ngf, (h, w)
     for _ in range(mc.n_downsample_global):               # stride-2 downs

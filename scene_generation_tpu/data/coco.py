@@ -25,7 +25,6 @@ from __future__ import annotations
 import json
 import os
 import pickle
-import random
 from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
@@ -63,7 +62,13 @@ class CocoSceneGraphDataset:
         self.no_image_obj = no_image_obj
         self.size_attribute_len = size_attribute_len
         self.grid_size = grid_size
-        self.rng = random.Random(seed)
+        # All per-example randomness (partner choice, subject/object coin,
+        # attribute sampling) derives from (seed, epoch, index) inside
+        # get_example — a pure function, so any worker count/type and any
+        # restart reproduce identical scene graphs (SURVEY.md §7
+        # "deterministic per-epoch PRNG"; the reference's shared
+        # random.Random, coco.py:373-387, is scheduling-dependent).
+        self.seed = 0 if seed is None else int(seed)
 
         with open(instances_json) as f:
             instances_data = json.load(f)
@@ -194,6 +199,11 @@ class CocoSceneGraphDataset:
         return min(len(self.image_ids), self.max_samples)
 
     def __getitem__(self, index: int) -> Example:
+        return self.get_example(index, 0)
+
+    def get_example(self, index: int, epoch: int = 0) -> Example:
+        """Pure function of (self.seed, epoch, index) — see __init__."""
+        rng = np.random.default_rng((self.seed, epoch, index))
         iid = self.image_ids[index]
         iw, ih = self.image_id_to_size[iid]
         image = load_image(os.path.join(
@@ -215,8 +225,8 @@ class CocoSceneGraphDataset:
                 distr = np.asarray(self.sample_attributes["size"][name],
                                    np.float64)
                 distr = distr / distr.sum()
-                size_idx = int(np.random.choice(self.size_attribute_len,
-                                                p=distr))
+                size_idx = int(rng.choice(self.size_attribute_len,
+                                          p=distr))
             else:
                 size_idx = round((self.size_attribute_len - 1)
                                  * (bw * bh) / (iw * ih))
@@ -275,17 +285,18 @@ class CocoSceneGraphDataset:
             choices = [i for i in real_idx if i != cur]
             if not choices:
                 break
-            other = self.rng.choice(choices)
-            if self.rng.random() > 0.5:
+            other = choices[int(rng.integers(len(choices)))]
+            if rng.random() > 0.5:
                 s, o = cur, other
             else:
                 s, o = other, cur
             p = geometric_predicate(boxes_arr[s], boxes_arr[o],
                                     centers_arr[s], centers_arr[o])
             if self.sample_attributes is not None:
-                self._propagate(s, p, o, loc_attr, size_attr, loc_distr)
+                self._propagate(s, p, o, loc_attr, size_attr, loc_distr,
+                                rng)
                 self._propagate(o, opposite_of(p), s, loc_attr, size_attr,
-                                loc_distr)
+                                loc_distr, rng)
             triples.append([s, self.vocab["pred_name_to_idx"][p], o])
 
         if not self.no_image_obj:
@@ -308,7 +319,7 @@ class CocoSceneGraphDataset:
         return seg_to_mask(ann["segmentation"], iw, ih)
 
     def _propagate(self, s: int, p: str, o: int, loc_attr, size_attr,
-                   loc_distr) -> None:
+                   loc_distr, rng) -> None:
         """Attribute-sampling constraint propagation (coco.py:419-472),
         generalized to the real grid root (the reference hard-codes 4x4)."""
         g = int(self.grid_size ** 0.5)
@@ -349,5 +360,5 @@ class CocoSceneGraphDataset:
             s_distr = loc_distr[s].copy()
             total = s_distr.sum()
         s_distr = s_distr / total
-        loc = int(np.random.choice(self.grid_size, p=s_distr))
+        loc = int(rng.choice(self.grid_size, p=s_distr))
         loc_attr[s, loc] = 1.0

@@ -53,7 +53,6 @@ class CocoPanopticSceneGraphDataset(CocoSceneGraphDataset):
         # NOTE: intentionally does NOT call super().__init__ — the vocab /
         # filtering source is entirely different; shared logic lives in the
         # __getitem__ / helpers inherited from CocoSceneGraphDataset.
-        import random as _random
         self.image_dir = image_dir
         self.panoptic_segmentation = panoptic_segmentation
         self.image_size = image_size
@@ -62,7 +61,9 @@ class CocoPanopticSceneGraphDataset(CocoSceneGraphDataset):
         self.no_image_obj = no_image_obj
         self.size_attribute_len = size_attribute_len
         self.grid_size = grid_size
-        self.rng = _random.Random(seed)
+        # Deterministic per-(epoch, index) randomness via the inherited
+        # get_example (see CocoSceneGraphDataset.__init__).
+        self.seed = 0 if seed is None else int(seed)
 
         with open(panoptic) as f:
             coco_d = json.load(f)

@@ -12,6 +12,20 @@ coco.py:501-547). Two worker modes:
     processes (reference train.py:71-77). The dataset is shipped ONCE per
     worker via the pool initializer; workers never import jax.
 
+Determinism (SURVEY.md §7 "deterministic per-epoch PRNG"): the epoch-e
+shuffle comes from ``default_rng((seed, e))`` and every example fetch is
+routed through ``dataset.get_example(index, epoch)`` when the dataset
+provides it, so per-example randomness (scene-graph resampling, attribute
+sampling) is a pure function of (dataset seed, epoch, index) — identical
+across worker counts, worker types, and restarts (tests/test_loader.py).
+
+Multi-host data parallelism: with ``process_count``/``process_index`` set
+(from ``jax.process_count()``/``jax.process_index()``), every process
+computes the SAME global shuffle (same seed) and loads only its contiguous
+1/process_count slice of each global batch; ``parallel.shard_batch``
+assembles the global jax.Array from those local pieces. The reference has
+no equivalent (single GPU).
+
 A background assembler keeps a bounded queue of device-ready Batches ahead
 of the training loop either way.
 """
@@ -35,8 +49,16 @@ def _init_worker(dataset):
     _worker_dataset = dataset
 
 
-def _worker_get(index: int):
-    return _worker_dataset[index]
+def _fetch_example(dataset, task):
+    index, epoch = task
+    get = getattr(dataset, "get_example", None)
+    if get is not None:
+        return get(index, epoch)
+    return dataset[index]
+
+
+def _worker_get(task):
+    return _fetch_example(_worker_dataset, task)
 
 
 class DataLoader:
@@ -44,10 +66,21 @@ class DataLoader:
                  max_triples: int, shuffle: bool = True,
                  num_workers: int = 4, drop_last: bool = True,
                  seed: int = 0, prefetch: int = 2,
-                 worker_type: str = "thread"):
+                 worker_type: str = "thread",
+                 process_count: int = 1, process_index: int = 0):
         assert worker_type in ("thread", "process")
+        assert 0 <= process_index < process_count
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(
+                    f"global batch_size {batch_size} must divide evenly "
+                    f"across {process_count} processes")
+            if not drop_last:
+                raise ValueError(
+                    "multi-process loading requires drop_last=True (a "
+                    "ragged final batch cannot be split evenly)")
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size          # GLOBAL batch size
         self.max_objs = max_objs
         self.max_triples = max_triples
         self.shuffle = shuffle
@@ -55,8 +88,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.worker_type = worker_type
+        self.process_count = process_count
+        self.process_index = process_index
+        self.seed = seed
+        self._epoch = 0
         self._process_pool = None
-        self._rng = np.random.RandomState(seed)
 
     def _pool(self):
         """Persistent spawn-context process pool (created lazily; spawn
@@ -73,6 +109,10 @@ class DataLoader:
             self._process_pool.shutdown(wait=False, cancel_futures=True)
             self._process_pool = None
 
+    def set_epoch(self, epoch: int) -> None:
+        """Align the next __iter__ with a specific epoch number (resume)."""
+        self._epoch = epoch
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
@@ -80,25 +120,34 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Batch]:
+        epoch = self._epoch
+        self._epoch = epoch + 1
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self._rng.shuffle(order)
+            # Derived per (seed, epoch) — NOT a mutated stream — so any
+            # process / restart reproduces the same global order.
+            np.random.default_rng((self.seed, epoch)).shuffle(order)
         batches = [order[i:i + self.batch_size]
                    for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.process_count > 1:
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            batches = [b[lo:lo + local] for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         # One IPC round trip per worker (not per example) in process mode.
-        chunk = max(1, self.batch_size // self.num_workers)
+        chunk = max(1, len(batches[0]) // self.num_workers) if batches else 1
 
         def produce_with(pool, fetch):
             for idxs in batches:
                 if stop.is_set():
                     return
-                examples = list(pool.map(fetch, idxs, chunksize=chunk))
+                tasks = [(int(i), epoch) for i in idxs]
+                examples = list(pool.map(fetch, tasks, chunksize=chunk))
                 batch = collate(examples, self.max_objs, self.max_triples)
                 # Bounded put that honors stop: a blocking q.put would
                 # wedge this thread (and the executor's atexit join,
@@ -115,7 +164,8 @@ class DataLoader:
                 produce_with(self._pool(), _worker_get)
             else:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    produce_with(pool, self.dataset.__getitem__)
+                    produce_with(
+                        pool, lambda t: _fetch_example(self.dataset, t))
             if not stop.is_set():
                 q.put(None)
 
@@ -133,7 +183,9 @@ class DataLoader:
 
 def device_prefetch(iterator, sharding=None, depth: int = 2):
     """Overlap host->device transfer with compute: device_put the next
-    ``depth`` batches while the current one runs (transfers are async)."""
+    ``depth`` batches while the current one runs (transfers are async).
+    Multi-host safe: placement goes through ``parallel.global_put`` (plain
+    async device_put on one process; process-local assembly on many)."""
     import collections
 
     import jax
@@ -143,7 +195,8 @@ def device_prefetch(iterator, sharding=None, depth: int = 2):
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        from scene_generation_tpu.parallel import global_put
+        return jax.tree.map(lambda x: global_put(x, sharding), batch)
 
     for batch in iterator:
         buf.append(put(batch))

@@ -118,8 +118,12 @@ def create_lpips_fn(rng: Optional[jax.Array] = None):
     lins = [jnp.asarray(w) for w in lins]
     variables = {"params": params}
 
+    # Weights are ARGUMENTS of the jitted function, not closure captures:
+    # captured constants get baked into the HLO and the ~60 MB of VGG16
+    # tensors then constant-fold during remote-TPU compilation (multi-minute
+    # stalls; CLAUDE.md "NEVER closure-capture big arrays").
     @jax.jit
-    def lpips_fn(x: jax.Array, y: jax.Array) -> jax.Array:
+    def _lpips(variables, lins, x: jax.Array, y: jax.Array) -> jax.Array:
         x = (x - _SHIFT) / _SCALE
         y = (y - _SHIFT) / _SCALE
         fx = model.apply(variables, x)
@@ -131,5 +135,8 @@ def create_lpips_fn(rng: Optional[jax.Array] = None):
             d = (a - b) ** 2
             total = total + jnp.mean(jnp.sum(d * w, axis=-1), axis=(1, 2))
         return total
+
+    def lpips_fn(x: jax.Array, y: jax.Array) -> jax.Array:
+        return _lpips(variables, lins, x, y)
 
     return lpips_fn, (vgg_loaded and lin_loaded)

@@ -1,4 +1,5 @@
 from scene_generation_tpu.parallel.mesh import (
-    create_mesh, shard_batch, replicate_state, batch_sharding)
+    create_mesh, shard_batch, replicate_state, batch_sharding, global_put)
 
-__all__ = ["create_mesh", "shard_batch", "replicate_state", "batch_sharding"]
+__all__ = ["create_mesh", "shard_batch", "replicate_state",
+           "batch_sharding", "global_put"]

@@ -8,8 +8,14 @@ gradient all-reduces — no hand-written collectives. BatchNorm statistics are
 global-batch means under GSPMD, i.e. cross-replica BN for free.
 
 Multi-host: call ``jax.distributed.initialize()`` before ``create_mesh``;
-``jax.devices()`` then spans the slice and the same code path shards over
-ICI within a slice and DCN across slices.
+``jax.devices()`` then spans the slice and the same step shards over ICI
+within a slice and DCN across slices. Host-side, each process loads only
+its 1/num_processes slice of every global batch (``DataLoader(...,
+process_count, process_index)``) and ``shard_batch`` assembles the global
+jax.Array from the process-local pieces with
+``jax.make_array_from_process_local_data`` — a plain ``device_put`` onto a
+multi-process mesh would throw on non-addressable devices. Proven by the
+spawned 2-process CPU test in tests/test_multihost.py.
 """
 from __future__ import annotations
 
@@ -29,6 +35,12 @@ def create_mesh(n_devices: Optional[int] = None,
         if len(devices) < n_devices:
             raise ValueError(
                 f"need {n_devices} devices, have {len(devices)}")
+        if jax.process_count() > 1 and n_devices != len(devices):
+            # Slicing a device prefix on >1 process would strand whole
+            # processes outside the mesh; multi-host DP always spans all.
+            raise ValueError(
+                f"multi-host mesh must span all {len(devices)} devices; "
+                f"got n_devices={n_devices}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
@@ -38,13 +50,40 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def global_put(x, sharding: NamedSharding):
+    """Place one host array under ``sharding``, multi-host safe.
+
+    Single process: plain (async) ``device_put``. Multi-process: ``x`` is
+    this process's local portion along any process-sharded axis (the full
+    value for replicated specs) and the global jax.Array is assembled from
+    the per-process pieces without any cross-host data movement.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    if sharding.spec == P():
+        return jax.make_array_from_process_local_data(sharding, x, x.shape)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+
 def shard_batch(batch: Batch, mesh: Mesh, axis_name: str = "data") -> Batch:
-    """Device-put every field sharded on its leading (image) axis."""
+    """Assemble a global batch sharded on its leading (image) axis.
+
+    On one process every field is ``device_put`` sharded; on many, each
+    process contributes the local slice its DataLoader produced (see
+    data/loader.py process_count/process_index) and the result is the
+    concatenated global batch.
+    """
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(lambda x: global_put(x, sh), batch)
 
 
 def replicate_state(state: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/opt state/pool) across the mesh."""
+    """Replicate a pytree (params/opt state/pool) across the mesh.
+
+    Multi-process: every process holds an identical host copy (same init
+    rng + shapes), so the replicated global array is assembled from the
+    local copies directly.
+    """
     sh = NamedSharding(mesh, P())
-    return jax.tree.map(lambda x: jax.device_put(x, sh), state)
+    return jax.tree.map(lambda x: global_put(x, sh), state)

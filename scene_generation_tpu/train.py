@@ -120,6 +120,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
         cfg = cfg.replace(
             model=dataclasses.replace(cfg.model,
                                       compute_dtype=a.compute_dtype,
+                                      layout_embed_dim=a.layout_embed_dim,
                                       box_net_final=a.box_net_final),
             loss=dataclasses.replace(cfg.loss,
                                      box_loss_gated=bool(a.box_loss_gated)))
@@ -232,25 +233,35 @@ def main(argv=None):
     print(f"dataset: {len(train_dset)} train / {len(val_dset)} val images, "
           f"{num_objs} classes")
 
+    # One writer of record: host-side artifacts (args/TB/checkpoints) come
+    # from process 0; the train state is replicated so its copy is complete.
+    is_primary = jax.process_index() == 0
     os.makedirs(cfg.train.output_dir, exist_ok=True)
-    with open(os.path.join(cfg.train.output_dir, "args.json"), "w") as f:
-        json.dump(vars(a), f)
+    if is_primary:
+        with open(os.path.join(cfg.train.output_dir, "args.json"), "w") as f:
+            json.dump(vars(a), f)
 
     writer = None
-    try:
-        from tensorboardX import SummaryWriter
-        writer = SummaryWriter(cfg.train.output_dir)
-    except Exception:
-        pass
+    if is_primary:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(cfg.train.output_dir)
+        except Exception:
+            pass
 
     # Process workers for real datasets (JPEG decode + RLE rasterize compete
     # with the training process for the GIL; reference uses 4 worker
     # processes, train.py:71-77). Synthetic generation is cheap numpy —
     # threads avoid the spawn/pickle overhead.
+    # Multi-host: every process computes the same global shuffle and loads
+    # only its 1/process_count slice of each global batch; shard_batch /
+    # device_prefetch assemble the global array from the local pieces.
     dl_kwargs = dict(batch_size=cfg.data.batch_size,
                      max_objs=cfg.data.max_objs,
                      max_triples=cfg.data.max_triples, num_workers=4,
-                     worker_type="thread" if a.synthetic else "process")
+                     worker_type="thread" if a.synthetic else "process",
+                     process_count=jax.process_count(),
+                     process_index=jax.process_index())
     train_loader = DataLoader(train_dset, shuffle=True,
                               seed=cfg.train.seed, **dl_kwargs)
     val_loader = DataLoader(val_dset, shuffle=cfg.data.shuffle_val,
@@ -269,10 +280,17 @@ def main(argv=None):
     if meta is None:
         meta = ckpt.new_meta(cfg, vocab)
 
-    # Largest device count that divides the global batch.
+    # Largest device count that divides the global batch (single host);
+    # multi-host meshes must span every device of every process.
     n_dev = len(jax.devices())
-    while cfg.data.batch_size % n_dev:
-        n_dev -= 1
+    if jax.process_count() > 1:
+        if cfg.data.batch_size % n_dev:
+            raise ValueError(
+                f"--batch_size {cfg.data.batch_size} must be divisible by "
+                f"the {n_dev} devices of a multi-host run")
+    else:
+        while cfg.data.batch_size % n_dev:
+            n_dev -= 1
     mesh = create_mesh(n_dev)
     state = replicate_state(state, mesh)
     step_fn = make_train_step(mods)
@@ -300,20 +318,33 @@ def main(argv=None):
     signal.signal(signal.SIGINT, _on_term)
 
     if a.initial_eval:
-        tr = check_model(mods, state, iter(val_loader), use_gt=True,
+        tr = check_model(mods, state, eval_iter(val_loader), use_gt=True,
                          num_samples=cfg.data.num_val_samples,
                          probs_fn=probs_fn)
-        print(f"initial: iou {tr[0]:.4f} inception {tr[1]:.4f}")
+        print(f"initial: val-gt iou {tr[0]:.4f} inception {tr[1]:.4f}")
         if writer:
-            writer.add_scalar("checkpoint/train_iou", tr[0], 0)
-            writer.add_scalar("checkpoint/train_inception_mean", tr[1], 0)
+            writer.add_scalar("checkpoint/val_gt_iou", tr[0], 0)
+            writer.add_scalar("checkpoint/val_gt_inception_mean", tr[1], 0)
 
     print(f"training on {mesh.devices.size} device(s); "
           f"{cfg.train.num_iterations} iterations")
+    from scene_generation_tpu.parallel import batch_sharding, shard_batch
+
+    def eval_iter(loader):
+        # check_model feeds host batches straight into a jitted step; on
+        # >1 process the (process-local) batch must first be assembled
+        # into a global array matching the replicated state's mesh.
+        if jax.process_count() == 1:
+            return iter(loader)
+        return (shard_batch(b, mesh) for b in loader)
+
     t_start = time.time()
     while t < cfg.train.num_iterations:
         epoch += 1
-        from scene_generation_tpu.parallel import batch_sharding
+        # Pin the loader to this epoch number so data order is a pure
+        # function of (seed, epoch) — identical across processes and
+        # across restarts.
+        train_loader.set_epoch(epoch)
         prefetched = device_prefetch(train_loader, batch_sharding(mesh))
         for batch in prefetched:
             if t >= cfg.train.num_iterations or stop_requested["flag"]:
@@ -338,15 +369,19 @@ def main(argv=None):
                 bad = [k for k, v in scalars.items() if not np.isfinite(v)]
                 if bad:
                     print(f"FATAL: non-finite losses at t={t}: {bad}")
-                    meta["counters"] = {"t": t, "epoch": epoch}
-                    meta["nan_abort"] = {"t": t, "keys": bad}
+                    # The MAIN checkpoint (state + meta sidecar) is left
+                    # entirely untouched so --restore_from_checkpoint
+                    # resumes at the t matching the restored weights; the
+                    # abort record rides the nan_abort manager's own meta.
                     nan_ckpt = CheckpointManager(
                         cfg.train.output_dir,
                         cfg.train.checkpoint_name + "_nan_abort")
+                    nan_meta = dict(meta)
+                    nan_meta["counters"] = {"t": t, "epoch": epoch}
+                    nan_meta["nan_abort"] = {"t": t, "keys": bad}
                     nan_ckpt.save(state, best=False)
-                    ckpt.save_meta(meta)
+                    nan_ckpt.save_meta(nan_meta)
                     nan_ckpt.wait()
-                    ckpt.wait()
                     raise FloatingPointError(
                         f"non-finite losses at t={t}: {bad}; last good "
                         f"checkpoint preserved, poisoned state saved as "
@@ -371,33 +406,45 @@ def main(argv=None):
                                      index)
                     writer.add_image("img/pred", pred.transpose(2, 0, 1),
                                      index)
-                    lay = one_hot_to_rgb(
-                        np.asarray(metrics["_layout_one_hot"][:1]))[0]
-                    writer.add_image("img/layout", lay.transpose(2, 0, 1),
-                                     index)
-                    lay_p = one_hot_to_rgb(
-                        np.asarray(metrics["_layout_pred_one_hot"][:1]))[0]
-                    writer.add_image("img/layout_pred",
-                                     lay_p.transpose(2, 0, 1), index)
+                    if cfg.model.layout_embed_dim == 0:
+                        # With a learned layout embedding the leading
+                        # channels are signed embedding values, not class
+                        # one-hots — argmax-to-RGB would be meaningless,
+                        # so the layout panels are skipped.
+                        lay = one_hot_to_rgb(
+                            np.asarray(metrics["_layout_one_hot"][:1]))[0]
+                        writer.add_image("img/layout",
+                                         lay.transpose(2, 0, 1), index)
+                        lay_p = one_hot_to_rgb(
+                            np.asarray(
+                                metrics["_layout_pred_one_hot"][:1]))[0]
+                        writer.add_image("img/layout_pred",
+                                         lay_p.transpose(2, 0, 1), index)
 
             if t % cfg.train.checkpoint_every == 0:
-                print("checking on train/val")
-                tr = check_model(mods, state, iter(val_loader), use_gt=True,
+                # Both sweeps run on the VAL loader, exactly as the
+                # reference does (reference train.py:224-226 passes
+                # val_loader for BOTH check_model calls) — its "train"
+                # row is really the use_gt=True val sweep. We keep the
+                # behavior but name the rows truthfully: val-gt
+                # (GT layout + attributes) vs val-sg (scene graph only).
+                print("checking on val (gt-layout + scene-graph-only)")
+                tr = check_model(mods, state, eval_iter(val_loader), use_gt=True,
                                  num_samples=cfg.data.num_val_samples,
                                  probs_fn=probs_fn)
-                va = check_model(mods, state, iter(val_loader), use_gt=False,
+                va = check_model(mods, state, eval_iter(val_loader), use_gt=False,
                                  num_samples=cfg.data.num_val_samples,
                                  probs_fn=probs_fn)
-                print(f"train iou: {tr[0]:.4f}  val iou: {va[0]:.4f}")
+                print(f"val-gt iou: {tr[0]:.4f}  val-sg iou: {va[0]:.4f}")
                 meta["checkpoint_ts"].append(t)
-                meta["train_inception"].append(tr[1])
+                meta.setdefault("val_gt_inception", []).append(tr[1])
                 meta["counters"] = {"t": t, "epoch": epoch}
                 is_best = ckpt.maybe_promote_best(meta, state, va[1])
                 ckpt.save(state, best=False)
                 ckpt.save_meta(meta)
                 if writer:
-                    writer.add_scalar("checkpoint/train_iou", tr[0], t)
-                    writer.add_scalar("checkpoint/val_iou", va[0], t)
+                    writer.add_scalar("checkpoint/val_gt_iou", tr[0], t)
+                    writer.add_scalar("checkpoint/val_sg_iou", va[0], t)
                 print(f"saved checkpoint (best={is_best})")
 
         if stop_requested["flag"]:

@@ -35,6 +35,11 @@ class CheckpointManager:
         else:
             self._ckptr = ocp.PyTreeCheckpointer()
         self._async = use_async
+        # Multi-host: the train state is replicated (every process holds a
+        # complete copy), so process 0 is the single writer of record —
+        # concurrent writers on a shared filesystem would race on the same
+        # paths. Every process still restores.
+        self._primary = jax.process_index() == 0
 
     # --- metadata sidecar (args/vocab/history, train.py:132-147) ---
     @property
@@ -48,6 +53,8 @@ class CheckpointManager:
             return json.load(f)
 
     def save_meta(self, meta: Dict[str, Any]) -> None:
+        if not self._primary:
+            return
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -62,7 +69,10 @@ class CheckpointManager:
             "losses": {},
             "d_losses": {},
             "checkpoint_ts": [],
-            "train_inception": [],
+            # Reference quirk preserved + renamed truthfully: its "train"
+            # check_model row is a use_gt=True sweep of the VAL loader
+            # (reference train.py:224-226), so the history is val_gt_*.
+            "val_gt_inception": [],
             "val_inception": [],
             "best_t": [],
             "counters": {"t": 0, "epoch": 0},
@@ -74,6 +84,8 @@ class CheckpointManager:
             self._ckptr.wait_until_finished()
 
     def save(self, state, best: bool = False) -> None:
+        if not self._primary:
+            return
         path = os.path.join(self.root, "best" if best else "last")
         self.wait()  # serialize with any in-flight save of the same dirs
         self._ckptr.save(path, jax.device_get(state), force=True)

@@ -34,11 +34,18 @@ def parse_args():
     p.add_argument("--coco_dir", default="datasets/coco")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_json", default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the host CPU (same escape hatch as "
+                        "compute_fid.py; remote-TPU compiles of the VGG16 "
+                        "feature net can be slow/flaky over the tunnel)")
     return p.parse_args()
 
 
 def main():
     a = parse_args()
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from scene_generation_tpu.api import InferenceModel
     from scene_generation_tpu.metrics_lpips import create_lpips_fn
     from scripts.sample_images import build_loader

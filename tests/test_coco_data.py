@@ -79,11 +79,16 @@ def test_collate_and_loader(dset):
 
 
 def test_epoch_graphs_are_resampled(dset):
-    """Scene graphs are synthesized per epoch (random partner choice)."""
-    t1 = dset[2].triples
+    """Scene graphs are synthesized per EPOCH (random partner choice), as a
+    pure function of (seed, epoch, index): repeated fetches within one
+    epoch are identical (any worker schedule sees the same graph), and
+    some epoch resamples a different graph."""
+    t1 = dset.get_example(2, epoch=0).triples
+    np.testing.assert_array_equal(t1, dset.get_example(2, epoch=0).triples)
+    np.testing.assert_array_equal(t1, dset[2].triples)  # __getitem__ = e0
     diff = False
-    for _ in range(10):
-        t2 = dset[2].triples
+    for epoch in range(1, 11):
+        t2 = dset.get_example(2, epoch=epoch).triples
         if t1.shape != t2.shape or not np.array_equal(t1, t2):
             diff = True
             break

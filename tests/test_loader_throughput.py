@@ -1,13 +1,14 @@
 """Host data-pipeline throughput (VERDICT r1 weak #6 / item 9).
 
-The measured full adversarial step is ~81-95 ms at batch 12 (~150 img/s,
-scripts/validate_pallas_train.py). The loader does PIL JPEG decode +
-resize + RLE mask rasterization per example; on a real (multi-core) TPU
-host the process-worker loader must deliver >= 2x that rate or the TPU
-starves silently. Dev/CI boxes can have very few cores (this build VM has
-ONE), so the absolute bar is asserted only when >= 4 cores exist; the
-parallel-efficiency floor versus measured serial throughput is asserted
-everywhere.
+The measured full adversarial step is 67.6 ms at batch 12 all-bf16
+(~178 img/s; forced-readback timing, RESULTS.md §8 — the earlier
+"81-95 ms" figure was a dispatch-only artifact and is disavowed). The
+loader does PIL JPEG decode + resize + RLE mask rasterization per
+example; on a real (multi-core) TPU host the process-worker loader must
+deliver >= 2x that rate or the TPU starves silently. Dev/CI boxes can
+have very few cores (this build VM has ONE), so the absolute bar is
+asserted only when >= 4 cores exist; the parallel-efficiency floor
+versus measured serial throughput is asserted everywhere.
 """
 import os
 import time
@@ -18,7 +19,7 @@ from scene_generation_tpu.data.coco import CocoSceneGraphDataset
 from scene_generation_tpu.data.fake_coco import make_fake_coco
 from scene_generation_tpu.data.loader import DataLoader
 
-TRAIN_IMGS_PER_SEC = 150.0   # measured, 1x v5e, batch 12 f32
+TRAIN_IMGS_PER_SEC = 178.0   # measured, 1x v5e, batch 12 bf16 (67.6 ms)
 HEADROOM = 2.0
 WORKERS = 4
 
