@@ -4,7 +4,9 @@ This replaces the reference's ragged-flat collate (``coco_collate_fn``,
 coco.py:501-547) — THE core data contract of the reference — with fixed
 shapes so the entire train step jits and shards:
 
-  imgs        (N, H, W, 3) float32, normalized to [-1, 1]
+  imgs        (N, H, W, 3) uint8 wire format (normalized to [-1, 1] float
+              ON DEVICE by ops/images.wire_to_float — 4x fewer bytes over
+              the host->device link; float32 [-1, 1] also accepted)
   objs        (N, MAX_O)   int32 contiguous class ids (0 = __image__/pad)
   boxes       (N, MAX_O, 4) float32 [x0, y0, x1, y1] in [0, 1]
   masks       (N, MAX_O, M, M) float32 binary
@@ -106,7 +108,7 @@ def collate(examples: Sequence[Example], max_objs: int,
     h, w, _ = ex0.image.shape
     m = ex0.masks.shape[-1]
     a = ex0.attributes.shape[-1]
-    imgs = np.empty((n, h, w, 3), np.float32)
+    imgs = np.empty((n, h, w, 3), ex0.image.dtype)  # uint8 wire format
     objs = np.zeros((n, max_objs), np.int32)
     boxes = np.zeros((n, max_objs, 4), np.float32)
     boxes[..., 2:] = 1.0

@@ -125,7 +125,9 @@ def synthetic_example(cfg: Config, rng: np.random.RandomState) -> Example:
     masks_full = np.concatenate(
         [masks_arr, np.ones((1, m, m), np.float32)])
 
-    img = img * 2.0 - 1.0  # normalize to [-1, 1] (data/utils.py:6-14)
+    # uint8 HWC wire format (see data/image_utils.load_image): device-side
+    # wire_to_float maps back to the reference's [-1, 1] convention.
+    img = (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
     return Example(image=img, objs=objs_full, boxes=boxes_full,
                    masks=masks_full, triples=triples, attributes=attrs)
 

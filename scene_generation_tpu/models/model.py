@@ -25,6 +25,7 @@ from scene_generation_tpu.models.generators import (
 from scene_generation_tpu.models.graph import GraphTripleConv, GraphTripleConvNet
 from scene_generation_tpu.models.layers import MLP
 from scene_generation_tpu.ops.crop import crop_bbox_batch
+from scene_generation_tpu.ops.images import wire_to_float
 from scene_generation_tpu.ops.layout import masks_to_layout
 
 
@@ -128,6 +129,10 @@ class SceneModel(nn.Module):
         dtype = cfg.jax_compute_dtype
         n, o = objs.shape
         h, w = cfg.image_size
+        if imgs is not None:
+            # uint8 wire-format batches normalize on device (ops/images.py);
+            # float inputs pass through at trace time.
+            imgs = wire_to_float(imgs)
 
         with jax.named_scope("gcn"):
             obj_vecs = self.scene_graph_to_vectors(objs, triples, attributes,
@@ -190,7 +195,9 @@ class SceneModel(nn.Module):
 
         # Train: image is generated from the GT layout; predicted boxes and
         # masks train only through their own losses (model.py:119-123).
-        backend = cfg.train_compositor_backend
+        # XLA compositing — measured faster backward than the (removed)
+        # Pallas train pair (RESULTS.md §10).
+        backend = "xla"
         with jax.named_scope("compositor"):
             layout = masks_to_layout(layout_vecs, boxes_gt, masks_gt,
                                      obj_mask, h, w, test_mode=False,

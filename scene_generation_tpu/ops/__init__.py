@@ -7,6 +7,7 @@ from scene_generation_tpu.ops.sampling import (
 from scene_generation_tpu.ops.layout import masks_to_layout, boxes_to_layout
 from scene_generation_tpu.ops.crop import crop_bbox_batch, uncrop_bbox
 from scene_generation_tpu.ops.graph_ops import triple_gather, segment_pool_objects
+from scene_generation_tpu.ops.images import wire_to_float
 
 __all__ = [
     "interp_matrix",
@@ -19,4 +20,5 @@ __all__ = [
     "uncrop_bbox",
     "triple_gather",
     "segment_pool_objects",
+    "wire_to_float",
 ]

@@ -29,6 +29,7 @@ import optax
 
 from scene_generation_tpu import losses as L
 from scene_generation_tpu.data.batching import Batch
+from scene_generation_tpu.ops.images import wire_to_float
 from scene_generation_tpu.ops.layout import masks_to_layout
 from scene_generation_tpu.trainer.pools import pool_query
 from scene_generation_tpu.trainer.train_state import Modules, TrainState
@@ -56,7 +57,11 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
     attributes = jnp.asarray(batch.attributes) * use_gt
     mask_noise = jax.random.normal(r_noise, (mc.mask_noise_dim,))
 
-    imgs = jnp.asarray(batch.imgs)
+    # uint8 wire format -> [-1, 1] float on device: the ONLY place the raw
+    # batch image is touched, so the 4x-smaller host transfer normalizes
+    # once and every consumer below (VGG target, D_img real branch, D_obj
+    # crops, L1 target) sees the reference's float convention.
+    imgs = wire_to_float(jnp.asarray(batch.imgs))
     objs = jnp.asarray(batch.objs)
     boxes = jnp.asarray(batch.boxes)
     masks = jnp.asarray(batch.masks)
@@ -168,7 +173,7 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
     wrong_vecs = jnp.concatenate(
         [cls_vecs_d, wrong_rep.reshape(n, o, mc.rep_size)], axis=-1)
     layout_wrong = masks_to_layout(wrong_vecs, boxes, masks, obj_mask, h, w,
-                                   backend=mc.train_compositor_backend)
+                                   backend="xla")
 
     # ------------------------------------------------------------------
     # 3. D_mask update (trainer.py:281-300).

@@ -21,6 +21,7 @@ from scene_generation_tpu.models.discriminators import (
     AcCropDiscriminator, MultiscaleDiscriminator, MultiscaleMaskDiscriminator)
 from scene_generation_tpu.models.model import SceneModel
 from scene_generation_tpu.models.vgg import Vgg19Features, load_torch_vgg19
+from scene_generation_tpu.ops.images import wire_to_float
 from scene_generation_tpu.trainer.pools import VectorPoolState, create_pool
 
 
@@ -104,8 +105,8 @@ def create_train_state(cfg: Config, rng: jax.Array, batch: Batch,
     d_img_vars = jax.jit(mods.d_img.init)(
         r_dimg, jnp.zeros((n, h, w, layout_nc + mc.output_nc)))
     d_obj_vars = jax.jit(mods.d_obj.init)(
-        r_dobj, jnp.asarray(batch.imgs), jnp.asarray(batch.boxes),
-        jnp.asarray(batch.obj_mask))
+        r_dobj, wire_to_float(jnp.asarray(batch.imgs)),
+        jnp.asarray(batch.boxes), jnp.asarray(batch.obj_mask))
     d_mask_vars = jax.jit(mods.d_mask.init)(
         r_dmask, jnp.zeros((n * o, mc.mask_size, mc.mask_size, 1)),
         jnp.zeros((n * o, mc.num_objs)))

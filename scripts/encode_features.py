@@ -92,8 +92,9 @@ def main():
 
     @jax.jit
     def encode(imgs, boxes, obj_mask):
+        from scene_generation_tpu.ops.images import wire_to_float
         n, o = boxes.shape[:2]
-        crops = crop_bbox_batch(imgs, boxes, mc.object_size)
+        crops = crop_bbox_batch(wire_to_float(imgs), boxes, mc.object_size)
         flat = crops.reshape(n * o, mc.object_size, mc.object_size, 3)
         variables = {"params": state.g_params, "batch_stats": state.g_stats}
         return mods.model.apply(variables, flat, False,

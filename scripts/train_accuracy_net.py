@@ -89,8 +89,9 @@ def main():
     @jax.jit
     def train_step(params, batch_stats, opt_state, imgs, boxes, objs,
                    obj_mask):
+        from scene_generation_tpu.ops.images import wire_to_float
         n, o = objs.shape
-        crops = crop_bbox_batch(imgs, boxes, crop).reshape(
+        crops = crop_bbox_batch(wire_to_float(imgs), boxes, crop).reshape(
             n * o, crop, crop, 3)
         labels = objs.reshape(n * o)
         w = obj_mask.reshape(n * o) * (labels != 0)
