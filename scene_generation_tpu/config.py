@@ -91,17 +91,11 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Scan identical resblocks (fast compiles) vs unroll (max throughput).
     scan_blocks: bool = True
-    # Compositor backends: 'auto' | 'xla' | 'pallas'. Gradient/output
-    # parity of the Pallas kernels vs XLA is hardware-validated
-    # (scripts/validate_pallas_train.py: max rel diff ~1e-5 on
-    # vecs/masks, 2e-7 on boxes, full-step loss parity). Timing with
-    # honest forced-readback sync (2026-08-17, 1x v5e) shows the backends
-    # within noise at the step level (xla 74.6 vs pallas 74.8 ms/step)
-    # and XLA ahead on the op-level backward (0.6 vs 4.8 ms), so 'auto'
-    # resolves to XLA for training; the Pallas pair remains available and
-    # parity-tested. (Round-1 timings claiming pallas wins used
-    # block_until_ready, a no-op under the axon tunnel.)
-    train_compositor_backend: str = "auto"
+    # Train-path compositing is XLA-only: the custom-VJP Pallas train pair
+    # was removed after honest forced-readback A/Bs (2026-08-17, 1x v5e)
+    # showed step-level parity (74.8 vs 74.6 ms) and an 8x-slower op-level
+    # backward (4.8 vs 0.6 ms) — RESULTS.md §10 has the full numbers and
+    # the structural analysis.
     # Inference/test-mode compositor backend (model.py test path): 'auto'
     # resolves to the fused Pallas occlusion compositor on TPU — measured
     # +24% end-to-end serving (1237 vs 996 img/s @ batch 16 bf16,

@@ -59,11 +59,12 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
       backend: 'xla' | 'pallas' | 'auto'. 'auto' picks the fused Pallas
         occlusion compositor for TEST mode on TPU (+24% end-to-end
         serving: 1237 vs 996 img/s @ batch 16 bf16, measured 2026-08-17
-        with forced-readback timing) and XLA everywhere else — including
-        the TRAIN path, where the custom-VJP Pallas pair is step-level
-        indistinguishable (74.8 vs 74.6 ms) and op-level slower in
-        backward (4.8 vs 0.6 ms); it stays available as
-        backend='pallas' and parity-tested.
+        with forced-readback timing) and XLA everywhere else. The TRAIN
+        path is XLA-only: the custom-VJP Pallas pair was step-level
+        indistinguishable (74.8 vs 74.6 ms) and 8x slower at the
+        op-level backward (4.8 vs 0.6 ms), so it was removed
+        (RESULTS.md §10); requesting backend='pallas' with
+        test_mode=False raises.
       interpret: run the Pallas kernels in interpret mode (CPU testing of
         the production prep path; ignored for the XLA backend).
 
@@ -78,8 +79,14 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
                                 and jax.default_backend() == "tpu")
                    else "xla")
     if backend == "pallas":
+        if not test_mode:
+            raise ValueError(
+                "backend='pallas' is test-mode only: the differentiable "
+                "custom-VJP train pair was removed after losing the honest "
+                "hardware A/B to XLA (op-level backward 4.8 vs 0.6 ms; "
+                "RESULTS.md §10)")
         return _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
-                                       test_mode, interpret)
+                                       interpret)
     sampled = _sample_masks(boxes, masks.astype(dtype), h, w)   # (N,O,H,W)
     valid = obj_mask.astype(dtype)[:, :, None, None]
     sampled = sampled * valid
@@ -119,13 +126,14 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
                                obj_mask.astype(dtype))
 
 
-def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode,
+def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
                             interpret=False):
-    """Fused-kernel backend (ops/pallas/compositor.py). Host-side prep:
-    zero invalid slots, build interpolation matrices, and (test mode) sort
-    objects by ascending sampled mass — the kernel composites in order."""
+    """Fused occlusion-kernel backend (ops/pallas/compositor.py), test mode
+    only. Host-side prep: zero invalid slots, build interpolation matrices,
+    and sort objects by ascending sampled mass — the kernel composites in
+    order."""
     from scene_generation_tpu.ops.pallas.compositor import (
-        compose_train, masks_to_layout_pallas)
+        masks_to_layout_pallas)
     dtype = vecs.dtype
     m = masks.shape[-1]
     valid = obj_mask.astype(dtype)
@@ -133,29 +141,19 @@ def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w, test_mode,
     vecs = vecs * valid[..., None]
     ry, rx = box_sample_matrices(boxes.astype(dtype), h, w, m)
 
-    if not test_mode:
-        # Differentiable fused path: custom-VJP kernel pair; gradients
-        # w.r.t. boxes flow through the jax-level ry/rx construction.
-        # tile_h=8: the backward kernel's per-tile live set (g tile +
-        # per-object grads, all f32) exceeds the 16MB scoped-VMEM limit at
-        # tile_h=16 for production shapes (D=204, W=128, O=9).
-        return compose_train(interpret, 8, vecs, ry, rx, masks)
+    # mass of vec (x) sampled mask = sum(vec) * sum(sampled); the sum of
+    # the separable resample factorizes over the marginals of ry/rx.
+    sampled_sum = jnp.einsum("nom,nomk,nok->no", ry.sum(axis=2), masks,
+                             rx.sum(axis=2))
+    mass = jnp.sum(vecs, axis=-1) * sampled_sum
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, mass.dtype)
+    mass = jnp.where(valid.astype(bool), mass, big)
+    order = jnp.argsort(mass, axis=-1)
+    take = lambda x: jnp.take_along_axis(
+        x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
+    vecs, ry, rx, masks = take(vecs), take(ry), take(rx), take(masks)
 
-    if test_mode:
-        # mass of vec (x) sampled mask = sum(vec) * sum(sampled); the sum of
-        # the separable resample factorizes over the marginals of ry/rx.
-        sampled_sum = jnp.einsum("nom,nomk,nok->no", ry.sum(axis=2), masks,
-                                 rx.sum(axis=2))
-        mass = jnp.sum(vecs, axis=-1) * sampled_sum
-        big = jnp.asarray(jnp.finfo(jnp.float32).max, mass.dtype)
-        mass = jnp.where(valid.astype(bool), mass, big)
-        order = jnp.argsort(mass, axis=-1)
-        take = lambda x: jnp.take_along_axis(
-            x, order.reshape(order.shape + (1,) * (x.ndim - 2)), axis=1)
-        vecs, ry, rx, masks = take(vecs), take(ry), take(rx), take(masks)
-
-    return masks_to_layout_pallas(vecs, ry, rx, masks, test_mode=test_mode,
-                                  interpret=interpret)
+    return masks_to_layout_pallas(vecs, ry, rx, masks, interpret=interpret)
 
 
 def boxes_to_layout(vecs: jax.Array, boxes: jax.Array, obj_mask: jax.Array,

@@ -7,7 +7,6 @@ under test, not a copy of it.
 """
 import numpy as np
 import pytest
-import jax
 import jax.numpy as jnp
 
 from scene_generation_tpu.ops.layout import masks_to_layout
@@ -33,13 +32,12 @@ def _case(seed=0, n=2, o=4, d=8, m=8, h=32, w=32):
             jnp.asarray(obj_mask), h, w)
 
 
-@pytest.mark.parametrize("test_mode", [False, True])
-def test_matches_xla_path(test_mode):
+def test_matches_xla_path():
     vecs, boxes, masks, obj_mask, h, w = _case()
     want = masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
-                           test_mode=test_mode)
+                           test_mode=True)
     got = masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
-                          test_mode=test_mode, backend="pallas",
+                          test_mode=True, backend="pallas",
                           interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-4, rtol=1e-4)
@@ -48,38 +46,18 @@ def test_matches_xla_path(test_mode):
 def test_uneven_tile_height_falls_back():
     vecs, boxes, masks, obj_mask, _, _ = _case(m=8)
     got = masks_to_layout(vecs, boxes, masks, obj_mask, 24, 24,
-                          backend="pallas", interpret=True)
-    want = masks_to_layout(vecs, boxes, masks, obj_mask, 24, 24)
+                          test_mode=True, backend="pallas", interpret=True)
+    want = masks_to_layout(vecs, boxes, masks, obj_mask, 24, 24,
+                           test_mode=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4,
                                rtol=1e-4)
 
 
-class TestCustomVJP:
-    """Train-path kernel pair: forward + gradient parity with the XLA path
-    (interpret mode), through the public API."""
-
-    def test_forward_matches(self):
-        vecs, boxes, masks, obj_mask, h, w = _case()
-        got = masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
-                              test_mode=False, backend="pallas",
-                              interpret=True)
-        want = masks_to_layout(vecs, boxes, masks, obj_mask, h, w)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-4, rtol=1e-4)
-
-    def test_gradients_match_xla(self):
-        vecs, boxes, masks, obj_mask, h, w = _case(1)
-
-        def loss(backend, vecs, boxes, masks):
-            out = masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
-                                  backend=backend, interpret=True)
-            return jnp.sum(out * out)
-
-        gp = jax.grad(lambda *a: loss("pallas", *a),
-                      argnums=(0, 1, 2))(vecs, boxes, masks)
-        gx = jax.grad(lambda *a: loss("xla", *a),
-                      argnums=(0, 1, 2))(vecs, boxes, masks)
-        for a, b, name in zip(gp, gx, ("vecs", "boxes", "masks")):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3,
-                err_msg=f"grad mismatch: {name}")
+def test_train_mode_pallas_is_refused():
+    """The custom-VJP train pair was removed after losing the honest A/B
+    (RESULTS.md §10); the train path must refuse rather than silently
+    composite through a non-differentiable kernel."""
+    vecs, boxes, masks, obj_mask, h, w = _case()
+    with pytest.raises(ValueError, match="test-mode only"):
+        masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
+                        test_mode=False, backend="pallas", interpret=True)
