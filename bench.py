@@ -19,10 +19,12 @@ runs in a SUBPROCESS with a bounded timeout and one retry; failure exits
 nonzero with a named diagnostic instead of hanging the driver.
 
 Baseline: the reference repo ships no numbers and no timing code
-(BASELINE.md). ``VS_BASELINE_REF`` is an analytic estimate of the
-reference's single-V100 inference throughput: the generator dominates at
-~50 GFLOP/image; V100 fp32 at a generous 30% utilization (~4.5 TFLOP/s)
-gives ~90 img/s. Treat >= 1.0 as parity.
+(BASELINE.md). ``VS_BASELINE_REF`` is a DERIVED single-V100 estimate
+anchored by measurement (BASELINE.md "Derived GPU baseline"): the actual
+reference forward costs 53.55 GFLOP/image (torch.profiler on the real
+reference model, scripts/baseline_torch.py); V100 fp32 at 30% util
+(15.7 TFLOP/s peak) gives ~88 img/s -> 90. The 25-40% util band spans
+73-117 img/s. Treat >= 1.0 as parity.
 """
 import dataclasses
 import json
