@@ -252,6 +252,12 @@ def main():
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"batch-64 bench failed: {type(e).__name__}: {e}")
     try:
+        rate128, mfu128 = bench_inference(128)
+        extra["inference_images_per_sec_b128"] = round(rate128, 2)
+        extra["inference_mfu_generator_b128"] = round(mfu128, 4)
+    except Exception as e:  # pragma: no cover - degraded mode
+        log(f"batch-128 bench failed: {type(e).__name__}: {e}")
+    try:
         dt, n = bench_train_step()
         extra["train_ms_per_step_b12_f32"] = round(dt * 1e3, 2)
         extra["train_images_per_sec"] = round(n / dt, 2)
