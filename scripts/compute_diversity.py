@@ -32,6 +32,9 @@ def parse_args():
     p.add_argument("--num_samples", type=int, default=64)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--coco_dir", default="datasets/coco")
+    # build_loader (scripts/sample_images.py) reads these in coco mode.
+    p.add_argument("--sample_attributes", type=int, default=0)
+    p.add_argument("--test_part", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_json", default=None)
     p.add_argument("--cpu", action="store_true",

@@ -42,6 +42,9 @@ def main():
                    help="training log for the curves panel")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--coco_dir", default="datasets/coco")
+    p.add_argument("--test_part", type=int, default=1,
+                   help="passed through to sampling/diversity (0 for "
+                        "small fixture datasets)")
     p.add_argument("--num_samples", type=int, default=60)
     p.add_argument("--encode_samples", type=int, default=512)
     p.add_argument("--diversity_samples", type=int, default=32)
@@ -56,6 +59,10 @@ def main():
     py = sys.executable
     data_flags = (["--synthetic"] if a.synthetic
                   else ["--coco_dir", a.coco_dir])
+    # Val-set stages (sampling/diversity) additionally honor --test_part;
+    # encode_features reads the train split and takes no such flag.
+    val_flags = data_flags + ([] if a.synthetic
+                              else ["--test_part", str(a.test_part)])
 
     # 1. appearance clusters
     if not os.path.exists(os.path.join(out, "features_clustered_100.npy")):
@@ -80,7 +87,7 @@ def main():
             "--checkpoint_name", a.checkpoint_name,
             "--features_path", feats,
             "--num_samples", str(a.num_samples), "--batch_size", "8",
-            "--save_dir", d, "--save_layouts", "1"] + flags + data_flags)
+            "--save_dir", d, "--save_layouts", "1"] + flags + val_flags)
 
     # 3. FID dirs + scores (real pngs are identical across modes)
     fid_real = os.path.join(out, "fid_real")
@@ -111,7 +118,7 @@ def main():
             "--checkpoint_name", a.checkpoint_name,
             "--features_path", feats,
             "--num_samples", str(a.diversity_samples),
-            "--batch_size", "8", "--out_json", div] + data_flags)
+            "--batch_size", "8", "--out_json", div] + val_flags)
 
     # 4b. object accuracy of generated crops (reference protocol #4)
     if a.accuracy_model_path:
@@ -125,7 +132,7 @@ def main():
                 "--accuracy_model_path", a.accuracy_model_path,
                 "--accuracy_tiny", str(a.accuracy_tiny),
                 "--save_dir", d, "--save_imgs", "0", "--save_layouts", "0"]
-               + data_flags)
+               + val_flags)
 
     # 5. grids + curves
     for name in ("gtlayout", "sg", "gtattr"):

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--use_gt_attr", type=int, default=0)
     p.add_argument("--use_gt_textures", type=int, default=0)
     p.add_argument("--sample_attributes", type=int, default=0)
+    p.add_argument("--test_part", type=int, default=1,
+                   help="1 (reference parity, coco.py:188-189): skip the "
+                        "first 1024 val images; 0: use the whole val set "
+                        "(required for small fixture datasets)")
     p.add_argument("--accuracy_model_path", default=None,
                    help="orbax checkpoint from train_accuracy_net.py")
     p.add_argument("--accuracy_tiny", type=int, default=0,
@@ -68,7 +72,7 @@ def build_loader(model, a):
             min_objects_per_image=d.min_objects_per_image,
             max_objects_per_image=d.max_objects_per_image,
             sample_attributes=bool(a.sample_attributes),
-            test_part=True, seed=a.seed)
+            test_part=bool(getattr(a, "test_part", 1)), seed=a.seed)
         dset.insert_pre_trained_vocab(model.vocab["object_to_idx"])
     return DataLoader(dset, batch_size=a.batch_size,
                       max_objs=cfg.data.max_objs,

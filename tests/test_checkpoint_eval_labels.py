@@ -1,0 +1,62 @@
+"""Truthful check_model rows (VERDICT r2 weak #1).
+
+The reference runs BOTH periodic check_model sweeps on the VAL loader
+(reference train.py:224-226 — its "train" row is really the use_gt=True
+val sweep). We keep that behavior but name the rows truthfully: this test
+pins (a) which loader each row consumed — the val loader twice, the train
+loader zero times — and (b) the val-gt / val-sg labels + meta key.
+"""
+import json
+import os
+
+import scene_generation_tpu.train as train_mod
+
+
+def test_checkpoint_rows_consume_val_loader_and_are_labeled(tmp_path,
+                                                            monkeypatch,
+                                                            capsys):
+    instances = []
+    real_loader = train_mod.DataLoader
+
+    class RecordingLoader(real_loader):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.iter_calls = 0
+            instances.append(self)
+
+        def __iter__(self):
+            self.iter_calls += 1
+            return super().__iter__()
+
+    calls = []
+
+    def fake_check_model(mods, state, loader, use_gt, num_samples,
+                         probs_fn=None, **kw):
+        calls.append(use_gt)
+        return (0.25, 1.0, 0.0, 0.5, 0.5)
+
+    monkeypatch.setattr(train_mod, "DataLoader", RecordingLoader)
+    monkeypatch.setattr(train_mod, "check_model", fake_check_model)
+
+    out = str(tmp_path / "run")
+    train_mod.main(["--synthetic", "--tiny", "--num_iterations", "2",
+                    "--print_every", "2", "--checkpoint_every", "2",
+                    "--output_dir", out, "--synthetic_size", "8"])
+
+    assert len(instances) == 2
+    # train.py seeds the val loader with seed+1 (train.py build of loaders).
+    train_loader = next(l for l in instances if l.seed == 0)
+    val_loader = next(l for l in instances if l.seed == 1)
+    # Two sweeps per checkpoint interval, BOTH off the val loader
+    # (reference parity); the train loader iterates only to feed training.
+    assert calls == [True, False]
+    assert val_loader.iter_calls == 2
+    # train loader: once for the init batch + once for the training epoch —
+    # never for a check_model row.
+    assert train_loader.iter_calls == 2
+
+    text = capsys.readouterr().out
+    assert "val-gt iou" in text and "val-sg iou" in text
+    assert "train iou" not in text
+    meta = json.load(open(os.path.join(out, "checkpoint", "meta.json")))
+    assert meta["val_gt_inception"] == [1.0]

@@ -35,7 +35,8 @@ def test_getitem_contract(dset):
     ex = dset[0]
     o = ex.objs.shape[0]
     assert ex.image.shape == (64, 64, 3)
-    assert -1.0 <= ex.image.min() and ex.image.max() <= 1.0
+    # uint8 wire format (normalized to [-1,1] on device; data/batching.py)
+    assert ex.image.dtype == np.uint8
     assert ex.boxes.shape == (o, 4)
     assert ex.masks.shape == (o, 16, 16)
     assert set(np.unique(ex.masks)).issubset({0.0, 1.0})
