@@ -93,7 +93,7 @@ def analytic_generator_gflops(mc, batch):
     return batch * total / 1e9
 
 
-def build_forward(batch_size):
+def build_forward(batch_size, layout_embed_dim=0):
     import jax
     import jax.numpy as jnp
     from scene_generation_tpu.config import Config
@@ -105,7 +105,8 @@ def build_forward(batch_size):
     # remote compiler is flaky enough on cold caches that reliability wins
     # for the recorded benchmark.
     cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype="bfloat16", scan_blocks=True))
+        cfg.model, compute_dtype="bfloat16", scan_blocks=True,
+        layout_embed_dim=layout_embed_dim))
     mc = cfg.model
     batch = synthetic_batch(cfg, seed=0, batch_size=batch_size)
     model = SceneModel(mc)
