@@ -93,7 +93,7 @@ def analytic_generator_gflops(mc, batch):
     return batch * total / 1e9
 
 
-def build_forward(batch_size, layout_embed_dim=0):
+def build_forward(batch_size, layout_embed_dim=0, factored_stem=True):
     import jax
     import jax.numpy as jnp
     from scene_generation_tpu.config import Config
@@ -106,7 +106,7 @@ def build_forward(batch_size, layout_embed_dim=0):
     # for the recorded benchmark.
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16", scan_blocks=True,
-        layout_embed_dim=layout_embed_dim))
+        layout_embed_dim=layout_embed_dim, factored_stem=factored_stem))
     mc = cfg.model
     batch = synthetic_batch(cfg, seed=0, batch_size=batch_size)
     model = SceneModel(mc)
@@ -183,7 +183,7 @@ def bench_inference(batch_size):
     return rate, mfu
 
 
-def bench_train_step(k_time=8, compute_dtype="float32"):
+def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
     """Full adversarial step (G + VGG perceptual + 3 D updates), batch 12,
     production config (Pallas train compositor on TPU).
 
@@ -200,7 +200,8 @@ def bench_train_step(k_time=8, compute_dtype="float32"):
 
     cfg = Config()
     cfg = cfg.replace(model=dataclasses.replace(
-        cfg.model, compute_dtype=compute_dtype))
+        cfg.model, compute_dtype=compute_dtype,
+        factored_stem=factored_stem))
     batch = synthetic_batch(cfg, seed=0)
     t0 = time.perf_counter()
     mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,

@@ -111,6 +111,17 @@ class ModelConfig:
     # conditioning) ~2x. Changes the trained architecture — checkpoints
     # are not interchangeable with the one-hot form.
     layout_embed_dim: int = 0
+    # Route the generator stem through the layout's rank-O factorization
+    # (ops/layout.py masks_to_layout_weights + generators.py StemConv):
+    # the 7x7 stem contracts the (N,H,W,O=9) per-object weight field
+    # instead of the (N,H,W,204) materialized layout — ~22x fewer stem
+    # FLOPs/HBM with IDENTICAL math (the layout is rank-O by construction;
+    # only float reassociation differs). Unlike layout_embed_dim this is
+    # not an architecture change: checkpoints interchange freely and
+    # quality is untouched. Default on; False restores the dense stem
+    # (and, in test mode, the Pallas dense compositor via
+    # test_compositor_backend).
+    factored_stem: bool = True
     # Rematerialize generator resblocks in backward (memory for FLOPs).
     remat_generator: bool = False
     # Terminal nonlinearity of the box head: "relu" = reference parity

@@ -26,7 +26,8 @@ from scene_generation_tpu.models.graph import GraphTripleConv, GraphTripleConvNe
 from scene_generation_tpu.models.layers import MLP
 from scene_generation_tpu.ops.crop import crop_bbox_batch
 from scene_generation_tpu.ops.images import wire_to_float
-from scene_generation_tpu.ops.layout import masks_to_layout
+from scene_generation_tpu.ops.layout import (masks_to_layout,
+                                             masks_to_layout_weights)
 
 
 class ModelOutput(NamedTuple):
@@ -180,14 +181,34 @@ class SceneModel(nn.Module):
         if test_mode:
             boxes = boxes_gt if use_gt_box else boxes_pred
             masks = masks_gt if masks_gt is not None else masks_pred
-            with jax.named_scope("compositor"):
-                layout_pred = masks_to_layout(
-                    layout_vecs, boxes.astype(dtype), masks.astype(dtype),
-                    obj_mask, h, w, test_mode=True,
-                    backend=cfg.test_compositor_backend)
-            with jax.named_scope("generator"):
-                imgs_pred = self.layout_to_image(layout_pred).astype(
-                    jnp.float32)
+            if cfg.factored_stem:
+                # Rank-O path: composite only the (N,O,H,W) weight field
+                # and feed the factorization straight into the generator
+                # stem (StemConv docstring). layout_pred is materialized
+                # from the SAME weights for ModelOutput consumers — XLA
+                # DCE drops it when the caller only reads imgs_pred
+                # (e.g. serving), so the 204-channel tensor never exists
+                # on the hot path.
+                with jax.named_scope("compositor"):
+                    lw = masks_to_layout_weights(
+                        layout_vecs, boxes.astype(dtype),
+                        masks.astype(dtype), obj_mask, h, w, test_mode=True)
+                    layout_pred = jnp.einsum(
+                        "nohw,nod->nhwd", lw, layout_vecs,
+                        preferred_element_type=dtype)
+                with jax.named_scope("generator"):
+                    imgs_pred = self.layout_to_image(
+                        layout_weights=jnp.transpose(lw, (0, 2, 3, 1)),
+                        layout_vecs=layout_vecs).astype(jnp.float32)
+            else:
+                with jax.named_scope("compositor"):
+                    layout_pred = masks_to_layout(
+                        layout_vecs, boxes.astype(dtype),
+                        masks.astype(dtype), obj_mask, h, w, test_mode=True,
+                        backend=cfg.test_compositor_backend)
+                with jax.named_scope("generator"):
+                    imgs_pred = self.layout_to_image(layout_pred).astype(
+                        jnp.float32)
             return ModelOutput(imgs_pred, boxes_pred, masks_pred, None,
                                layout_pred.astype(jnp.float32), None,
                                obj_repr.astype(jnp.float32),
@@ -199,9 +220,20 @@ class SceneModel(nn.Module):
         # Pallas train pair (RESULTS.md §10).
         backend = "xla"
         with jax.named_scope("compositor"):
-            layout = masks_to_layout(layout_vecs, boxes_gt, masks_gt,
-                                     obj_mask, h, w, test_mode=False,
-                                     backend=backend)
+            if cfg.factored_stem:
+                # The GT layout still materializes (D_img conditions on it,
+                # trainer/step.py), but the generator stem contracts the
+                # rank-O factor — saving the dense 204-channel stem conv in
+                # forward AND backward.
+                lw_gt = masks_to_layout_weights(layout_vecs, boxes_gt,
+                                                masks_gt, obj_mask, h, w,
+                                                test_mode=False)
+                layout = jnp.einsum("nohw,nod->nhwd", lw_gt, layout_vecs,
+                                    preferred_element_type=dtype)
+            else:
+                layout = masks_to_layout(layout_vecs, boxes_gt, masks_gt,
+                                         obj_mask, h, w, test_mode=False,
+                                         backend=backend)
             layout_pred = masks_to_layout(layout_vecs, boxes_gt, masks_pred,
                                           obj_mask, h, w, test_mode=False,
                                           backend=backend)
@@ -213,7 +245,12 @@ class SceneModel(nn.Module):
                                            obj_mask, h, w, test_mode=False,
                                            backend=backend)
         with jax.named_scope("generator"):
-            imgs_pred = self.layout_to_image(layout).astype(jnp.float32)
+            if cfg.factored_stem:
+                imgs_pred = self.layout_to_image(
+                    layout_weights=jnp.transpose(lw_gt, (0, 2, 3, 1)),
+                    layout_vecs=layout_vecs).astype(jnp.float32)
+            else:
+                imgs_pred = self.layout_to_image(layout).astype(jnp.float32)
         return ModelOutput(imgs_pred, boxes_pred, masks_pred,
                            layout.astype(jnp.float32),
                            layout_pred.astype(jnp.float32),

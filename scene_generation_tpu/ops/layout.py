@@ -38,6 +38,59 @@ def _sample_masks(boxes: jax.Array, masks: jax.Array, h: int, w: int):
                       preferred_element_type=ry.dtype)
 
 
+def masks_to_layout_weights(vecs: jax.Array, boxes: jax.Array,
+                            masks: jax.Array, obj_mask: jax.Array,
+                            h: int, w: Optional[int] = None,
+                            test_mode: bool = False) -> jax.Array:
+    """Per-object spatial weights of the layout's rank-O factorization.
+
+    The composed layout is ALWAYS a sum of per-object rank-1 terms,
+    ``layout[n,y,x,:] = sum_o weights[n,o,y,x] * vecs[n,o,:]`` — both the
+    train-mode sum (reference ``layout.py:149-155``) and the test-mode
+    occlusion compositor (``layout.py:157-169``) only differ in how the
+    (N, O, H, W) weight field is built. Exposing the factor lets consumers
+    whose first op is linear in the layout (the pix2pixHD 7x7 stem,
+    ``models/generators.py StemConv``) contract against the O-dim factor
+    instead of the D-dim materialized layout — a D/O (~22x at COCO scale)
+    FLOP/HBM reduction with bitwise-equal semantics up to reassociation.
+
+    Returns (N, O, H, W) weights in the ORIGINAL object-slot order
+    (invalid slots are all-zero).
+    """
+    if w is None:
+        w = h
+    dtype = vecs.dtype
+    sampled = _sample_masks(boxes, masks.astype(dtype), h, w)   # (N,O,H,W)
+    valid = obj_mask.astype(dtype)[:, :, None, None]
+    sampled = sampled * valid
+    if not test_mode:
+        return sampled
+
+    # Occlusion ordering (layout.py:157-169): objects sorted by total
+    # sampled mass ascending; each claims still-unclaimed pixels where its
+    # clean resampled mask > 0.5. ``clean`` is the identical resample of
+    # the same masks (layout.py:88), so it aliases ``sampled``.
+    mass = jnp.sum(vecs, axis=-1) * jnp.sum(sampled, axis=(-1, -2))  # (N,O)
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+    mass = jnp.where(obj_mask.astype(bool), mass, big)
+    order = jnp.argsort(mass, axis=-1)                               # (N,O)
+
+    def per_image(sampled_i, order_i, valid_i):
+        s = jnp.take(sampled_i, order_i, axis=0)     # (O,H,W)
+        vm = jnp.take(valid_i, order_i, axis=0)      # (O,)
+        binm = (s > 0.5).astype(dtype) * vm[:, None, None]
+        # Exclusive cumulative max: has any earlier object claimed this
+        # pixel?
+        taken = jnp.cumsum(binm, axis=0)
+        prev_taken = jnp.minimum(taken - binm, 1.0)
+        claim = binm * (1.0 - prev_taken)            # (O,H,W)
+        # Un-permute so weights align with the caller's vec order.
+        inv = jnp.argsort(order_i)
+        return jnp.take(s * claim, inv, axis=0)
+
+    return jax.vmap(per_image)(sampled, order, obj_mask.astype(dtype))
+
+
 def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
                     obj_mask: jax.Array, h: int, w: Optional[int] = None,
                     test_mode: bool = False,
@@ -87,43 +140,12 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
                 "RESULTS.md §10)")
         return _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
                                        interpret)
-    sampled = _sample_masks(boxes, masks.astype(dtype), h, w)   # (N,O,H,W)
-    valid = obj_mask.astype(dtype)[:, :, None, None]
-    sampled = sampled * valid
-
-    if not test_mode:
-        # Train path: plain per-image sum over objects (layout.py:149-155).
-        return jnp.einsum("nohw,nod->nhwd", sampled, vecs,
-                          preferred_element_type=dtype)
-
-    # Test path (layout.py:157-169): resample the *clean* binary mask, order
-    # objects by total sampled mass ascending (smaller objects claim pixels
-    # first and therefore win overlaps), let each object claim pixels where
-    # its clean mask > 0.5 that no earlier object claimed.
-    clean = sampled  # identical resample of the same masks (layout.py:88)
-    # mass of reference `samples[j] = vec_j (x) sampled_j`:
-    # sum_dhw = sum_d(vec) * sum_hw(sampled).
-    mass = jnp.sum(vecs, axis=-1) * jnp.sum(sampled, axis=(-1, -2))  # (N,O)
-    # Push invalid slots to the end of the order (they claim nothing anyway).
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    mass = jnp.where(obj_mask.astype(bool), mass, big)
-    order = jnp.argsort(mass, axis=-1)                               # (N,O)
-
-    def per_image(sampled_i, clean_i, vecs_i, order_i, valid_i):
-        s = jnp.take(sampled_i, order_i, axis=0)     # (O,H,W)
-        c = jnp.take(clean_i, order_i, axis=0)
-        v = jnp.take(vecs_i, order_i, axis=0)        # (O,D)
-        vm = jnp.take(valid_i, order_i, axis=0)      # (O,)
-        binm = (c > 0.5).astype(dtype) * vm[:, None, None]
-        # Exclusive cumulative max: has any earlier object claimed this pixel?
-        taken = jnp.cumsum(binm, axis=0)
-        prev_taken = jnp.minimum(taken - binm, 1.0)
-        claim = binm * (1.0 - prev_taken)            # (O,H,W)
-        return jnp.einsum("ohw,od->hwd", s * claim, v,
-                          preferred_element_type=dtype)
-
-    return jax.vmap(per_image)(sampled, clean, vecs, order,
-                               obj_mask.astype(dtype))
+    # XLA backend: build the per-object weight field (train sum or test
+    # occlusion claims — layout.py:149-169) and contract it with the vecs.
+    weights = masks_to_layout_weights(vecs, boxes, masks, obj_mask, h, w,
+                                      test_mode=test_mode)
+    return jnp.einsum("nohw,nod->nhwd", weights, vecs,
+                      preferred_element_type=dtype)
 
 
 def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,

@@ -1,0 +1,67 @@
+"""End-to-end serving A/B: factored rank-O stem vs dense layout stem.
+
+Times the FULL test-mode pipeline (scene graph -> GCN -> boxes/masks ->
+occlusion compositing -> pix2pixHD generator) via bench.build_forward with
+config.factored_stem toggled, chained-dispatch + single-readback
+methodology. The dense arm uses the production dense default (Pallas
+occlusion compositor via test_compositor_backend='auto' on TPU).
+
+Usage: python scripts/stem_ab.py [--batches 16,64,128]
+Prints one JSON line per (arm, batch).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+K = 17
+REPEATS = 5
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default="16,64,128")
+    a = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import build_forward
+
+    for bs in (int(x) for x in a.batches.split(",")):
+        for arm in ("dense", "factored"):
+            single, variables, inputs, mc = build_forward(
+                bs, factored_stem=(arm == "factored"))
+            noise0 = jnp.zeros((mc.mask_noise_dim,), jnp.float32)
+            img, _ = single(variables, inputs, noise0)
+            float(jnp.mean(img))
+
+            def chain(k):
+                ts = []
+                for _ in range(REPEATS):
+                    noise = noise0
+                    t0 = time.perf_counter()
+                    for _ in range(k):
+                        img, noise = single(variables, inputs, noise)
+                    float(jnp.mean(img))
+                    ts.append(time.perf_counter() - t0)
+                return float(np.median(ts))
+
+            t1 = chain(1)
+            tk = chain(K)
+            dt = (tk - t1) / (K - 1)
+            print(json.dumps({
+                "arm": arm, "batch": bs,
+                "ms": round(dt * 1e3, 2),
+                "img_per_sec": round(bs / dt, 1),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
