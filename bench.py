@@ -93,7 +93,8 @@ def analytic_generator_gflops(mc, batch):
     return batch * total / 1e9
 
 
-def build_forward(batch_size, layout_embed_dim=0, factored_stem=True):
+def build_forward(batch_size, layout_embed_dim=0, factored_stem=True,
+                  test_stem_backend="auto"):
     import jax
     import jax.numpy as jnp
     from scene_generation_tpu.config import Config
@@ -106,7 +107,8 @@ def build_forward(batch_size, layout_embed_dim=0, factored_stem=True):
     # for the recorded benchmark.
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype="bfloat16", scan_blocks=True,
-        layout_embed_dim=layout_embed_dim, factored_stem=factored_stem))
+        layout_embed_dim=layout_embed_dim, factored_stem=factored_stem,
+        test_stem_backend=test_stem_backend))
     mc = cfg.model
     batch = synthetic_batch(cfg, seed=0, batch_size=batch_size)
     model = SceneModel(mc)

@@ -122,6 +122,15 @@ class ModelConfig:
     # (and, in test mode, the Pallas dense compositor via
     # test_compositor_backend).
     factored_stem: bool = True
+    # Test-mode backend for the factored stem contraction (StemConv):
+    # 'auto' resolves to the fused Pallas VMEM kernel (ops/pallas/stem.py)
+    # on TPU — the im2col patch matrix never touches HBM; measured
+    # 0.84/4.2/10.2 ms at b16/b64/b128 vs 2.1/6.9/18.3 for the XLA
+    # 'patches' form (scripts/stem_microbench.py, 1x v5e bf16). 'xla'
+    # forces 'patches'. The TRAIN path always uses 'patches' (the Pallas
+    # kernel is not differentiable), so this knob is test/serving only —
+    # same contract as test_compositor_backend.
+    test_stem_backend: str = "auto"
     # Rematerialize generator resblocks in backward (memory for FLOPs).
     remat_generator: bool = False
     # Terminal nonlinearity of the box head: "relu" = reference parity

@@ -94,12 +94,18 @@ class StemConv(nn.Module):
     + model.py:164-168); nothing in its semantics requires it.
 
     Factored impls (all mathematically identical; picked by measurement —
-    scripts/stem_microbench.py, 1x v5e, 2026-08-17):
+    scripts/stem_microbench.py, 1x v5e bf16, 2026-08-17; stem-only ms at
+    b16/b64/b128, dense conv = 5.5/22.1/26.3):
+      'pallas': fused VMEM kernel (ops/pallas/stem.py) — 0.84/4.2/10.2.
+        NOT differentiable; serving/test only.
       'patches': im2col of the O-channel weight field
         (conv_general_dilated_patches -> (N,H,W,49O)) + ONE per-image
-        K=441 matmul against g. The im2col tensor is over O=9 channels,
-        not D=204, so it stays ~22x smaller than dense im2col; the matmul
-        has a full contraction dim for the MXU. The winner.
+        K=441 matmul against g — 2.1/6.9/18.3. The im2col tensor is over
+        O=9 channels, not D=204, so it stays ~22x smaller than dense
+        im2col; the matmul has a full MXU contraction dim. Autodiffs —
+        the TRAIN default.
+      'slices': same matmul, im2col via 49 explicit slice+concat —
+        5.6/24.7/56.6 (the copies do not fuse).
       'grouped': vmapped per-image conv — XLA lowers to a grouped conv
         whose 9-channel groups pad catastrophically on TPU (measured
         SLOWER than dense: 64 vs 26 ms at b128).
@@ -114,7 +120,8 @@ class StemConv(nn.Module):
     @nn.compact
     def __call__(self, x: Optional[jax.Array] = None, *,
                  weights: Optional[jax.Array] = None,
-                 vecs: Optional[jax.Array] = None) -> jax.Array:
+                 vecs: Optional[jax.Array] = None,
+                 impl: Optional[str] = None) -> jax.Array:
         k = self.kernel_size
         in_ch = x.shape[-1] if x is not None else vecs.shape[-1]
         kernel = self.param("kernel", conv_init_gan,
@@ -130,11 +137,20 @@ class StemConv(nn.Module):
         # Factored path: weights (N, Hp, Wp, O) already spatially padded by
         # the caller (padding commutes with the per-pixel contraction),
         # vecs (N, O, D).
+        impl = impl or self.factored_impl
         weights, vecs, kernel, bias = nn.dtypes.promote_dtype(
             weights, vecs, kernel, bias, dtype=self.dtype)
         g = jnp.einsum("nod,hwdc->nhwoc", vecs, kernel,
                        preferred_element_type=weights.dtype)  # (N,7,7,O,C)
-        if self.factored_impl == "patches":
+        if impl in ("pallas", "pallas_interpret"):
+            # Fused VMEM-resident contraction (ops/pallas/stem.py): no HBM
+            # im2col. NOT differentiable — serving/test path only; the
+            # train path uses 'patches' (plain XLA, autodiffs).
+            from scene_generation_tpu.ops.pallas.stem import stem_pallas
+            out = stem_pallas(
+                weights, g,
+                interpret=impl == "pallas_interpret")
+        elif impl == "patches":
             n, _, _, o = weights.shape
             # (N, Hout, Wout, O*k*k); feature order (c_in, ky, kx) per
             # conv_general_dilated_patches' contract.
@@ -145,13 +161,25 @@ class StemConv(nn.Module):
                 n, o * k * k, self.features)
             out = jnp.einsum("nhwq,nqc->nhwc", patches, g_okk,
                              preferred_element_type=weights.dtype)
-        elif self.factored_impl == "grouped":
+        elif impl == "slices":
+            # im2col via k*k static shifted slices (plain copies — avoids
+            # conv_general_dilated_patches' grouped-conv lowering), then
+            # the same per-image K=441 matmul.
+            n, hp, wp_, o = weights.shape
+            h_out, w_out = hp - k + 1, wp_ - k + 1
+            pieces = [weights[:, dy:dy + h_out, dx:dx + w_out, :]
+                      for dy in range(k) for dx in range(k)]
+            patches = jnp.concatenate(pieces, axis=-1)  # (N,H,W,k*k*O)
+            g_kko = jnp.reshape(g, (n, k * k * o, self.features))
+            out = jnp.einsum("nhwq,nqc->nhwc", patches, g_kko,
+                             preferred_element_type=weights.dtype)
+        elif impl == "grouped":
             def one(wm, gk):
                 return jax.lax.conv_general_dilated(
                     wm[None], gk, (1, 1), "VALID",
                     dimension_numbers=dn)[0]
             out = jax.vmap(one)(weights, g)
-        elif self.factored_impl == "shifts":
+        elif impl == "shifts":
             n, hp, wp, _ = weights.shape
             h_out, w_out = hp - k + 1, wp - k + 1
             acc = jnp.zeros((n, h_out, w_out, self.features), jnp.float32)
@@ -165,7 +193,7 @@ class StemConv(nn.Module):
                         preferred_element_type=jnp.float32)
             out = acc.astype(weights.dtype)
         else:
-            raise ValueError(f"unknown factored_impl {self.factored_impl!r}")
+            raise ValueError(f"unknown factored_impl {impl!r}")
         return out + bias
 
 
@@ -200,7 +228,8 @@ class GlobalGenerator(nn.Module):
     @nn.compact
     def __call__(self, x: Optional[jax.Array] = None, *,
                  layout_weights: Optional[jax.Array] = None,
-                 layout_vecs: Optional[jax.Array] = None) -> jax.Array:
+                 layout_vecs: Optional[jax.Array] = None,
+                 stem_impl: Optional[str] = None) -> jax.Array:
         # Explicit submodule names keep the param tree identical to the
         # historical auto-named layout (Conv_0..Conv_5) regardless of which
         # stem path traces first — checkpoints stay interchangeable.
@@ -210,7 +239,7 @@ class GlobalGenerator(nn.Module):
             h = stem(reflect_pad_2d(x, 3))
         else:
             h = stem(weights=reflect_pad_2d(layout_weights, 3),
-                     vecs=layout_vecs)
+                     vecs=layout_vecs, impl=stem_impl)
         h = relu(instance_norm(h))
 
         for i in range(self.n_downsampling):

@@ -196,10 +196,20 @@ class SceneModel(nn.Module):
                     layout_pred = jnp.einsum(
                         "nohw,nod->nhwd", lw, layout_vecs,
                         preferred_element_type=dtype)
+                # Stem backend, resolved like the compositor's: the fused
+                # Pallas VMEM kernel on TPU (2.5x the XLA 'patches' form at
+                # b16, scripts/stem_microbench.py), 'patches' elsewhere.
+                stem_impl = cfg.test_stem_backend
+                if stem_impl == "auto":
+                    stem_impl = ("pallas"
+                                 if jax.default_backend() == "tpu" else None)
+                elif stem_impl == "xla":
+                    stem_impl = None
                 with jax.named_scope("generator"):
                     imgs_pred = self.layout_to_image(
                         layout_weights=jnp.transpose(lw, (0, 2, 3, 1)),
-                        layout_vecs=layout_vecs).astype(jnp.float32)
+                        layout_vecs=layout_vecs,
+                        stem_impl=stem_impl).astype(jnp.float32)
             else:
                 with jax.named_scope("compositor"):
                     layout_pred = masks_to_layout(

@@ -10,6 +10,11 @@ configurations across batch sizes.
 
 Usage: python scripts/serving_decomp.py [--batches 64,128] [--embed 0,64]
 Prints one JSON line per (embed, batch) config.
+
+--factored 1 (default): both arms use the production factored-stem path
+(generator-alone consumes the (N,H,W,O) weight field + per-object vecs,
+stem via test_stem_backend='auto' -> Pallas on TPU). --factored 0
+restores the round-2 dense decomposition (§13/§21 numbers).
 """
 import argparse
 import json
@@ -49,6 +54,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="64,128")
     p.add_argument("--embed", default="0,64")
+    p.add_argument("--factored", type=int, default=1)
     a = p.parse_args()
 
     import jax
@@ -62,7 +68,8 @@ def main():
     for embed in (int(x) for x in a.embed.split(",")):
         for bs in (int(x) for x in a.batches.split(",")):
             single, variables, inputs, mc = build_forward(
-                bs, layout_embed_dim=embed)
+                bs, layout_embed_dim=embed,
+                factored_stem=bool(a.factored))
             noise0 = jnp.zeros((mc.mask_noise_dim,), jnp.float32)
             img, _ = single(variables, inputs, noise0)
             float(jnp.mean(img))
@@ -78,12 +85,34 @@ def main():
                                   scan_blocks=mc.scan_blocks,
                                   dtype=mc.jax_compute_dtype)
             layout = jnp.zeros((bs, h, w, d), mc.jax_compute_dtype)
-            gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), layout)
+            if a.factored:
+                import jax as _jax
+                stem_impl = ("pallas"
+                             if _jax.default_backend() == "tpu" else None)
+                lw = jnp.zeros((bs, h, w, 9), mc.jax_compute_dtype)
+                lv = jnp.zeros((bs, 9, d), mc.jax_compute_dtype)
+                gvars = jax.jit(lambda k, w_, v_: gen.init(
+                    k, layout_weights=w_, layout_vecs=v_))(
+                        jax.random.PRNGKey(0), lw, lv)
 
-            @jax.jit
-            def gen_fwd(gvars, layout, noise):
-                out = gen.apply(gvars, layout + noise[0].astype(layout.dtype))
-                return out, noise + jnp.mean(out).astype(noise.dtype) * 1e-6
+                @jax.jit
+                def gen_fwd(gvars, pair, noise):
+                    w_, v_ = pair
+                    out = gen.apply(
+                        gvars,
+                        layout_weights=w_ + noise[0].astype(w_.dtype),
+                        layout_vecs=v_, stem_impl=stem_impl)
+                    return out, noise + jnp.mean(out).astype(noise.dtype) * 1e-6
+
+                layout = (lw, lv)
+            else:
+                gvars = jax.jit(gen.init)(jax.random.PRNGKey(0), layout)
+
+                @jax.jit
+                def gen_fwd(gvars, layout, noise):
+                    out = gen.apply(gvars,
+                                    layout + noise[0].astype(layout.dtype))
+                    return out, noise + jnp.mean(out).astype(noise.dtype) * 1e-6
 
             out, _ = gen_fwd(gvars, layout, noise0)
             float(jnp.mean(out))

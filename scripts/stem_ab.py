@@ -34,10 +34,15 @@ def main():
 
     from bench import build_forward
 
+    # Arms: dense layout stem; factored stem via the XLA 'patches' form;
+    # factored stem via the fused Pallas VMEM kernel (the TPU default,
+    # test_stem_backend='auto').
+    arms = {"dense": dict(factored_stem=False),
+            "patches": dict(test_stem_backend="xla"),
+            "pallas": dict(test_stem_backend="pallas")}
     for bs in (int(x) for x in a.batches.split(",")):
-        for arm in ("dense", "factored"):
-            single, variables, inputs, mc = build_forward(
-                bs, factored_stem=(arm == "factored"))
+        for arm, kw in arms.items():
+            single, variables, inputs, mc = build_forward(bs, **kw)
             noise0 = jnp.zeros((mc.mask_noise_dim,), jnp.float32)
             img, _ = single(variables, inputs, noise0)
             float(jnp.mean(img))

@@ -65,7 +65,8 @@ def main():
         layout = jnp.einsum("nhwo,nod->nhwd", wmap, vecs)
         variables = StemConv(c, dtype=jnp.bfloat16).init(key, layout)
 
-        for impl in ("dense", "patches", "grouped", "shifts"):
+        for impl in ("dense", "patches", "pallas", "slices", "grouped",
+                     "shifts"):
             sc = StemConv(c, dtype=jnp.bfloat16,
                           factored_impl=impl if impl != "dense" else "grouped")
 

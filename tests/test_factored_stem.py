@@ -34,7 +34,8 @@ def test_stemconv_dense_matches_nn_conv_exactly():
                                   np.asarray(StemConv(8).apply(rv, x)))
 
 
-@pytest.mark.parametrize("impl", ["patches", "grouped", "shifts"])
+@pytest.mark.parametrize("impl", ["patches", "slices", "grouped", "shifts",
+                                  "pallas_interpret"])
 def test_stemconv_factored_matches_dense(impl):
     n, h, w, o, d, c = 2, 20, 24, 9, 50, 8
     wmap = jax.random.uniform(jax.random.PRNGKey(3), (n, h + 6, w + 6, o))
@@ -125,6 +126,25 @@ def test_model_train_mode_parity(pair):
     np.testing.assert_allclose(np.asarray(out_f.layout),
                                np.asarray(out_d.layout),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_model_pallas_stem_backend_parity(pair):
+    """test_stem_backend routes the test-mode generator stem through the
+    fused Pallas kernel (interpret mode here) with identical output."""
+    cfg, batch, model_f, _, variables, noise = pair
+    mc_p = dataclasses.replace(cfg.model,
+                               test_stem_backend="pallas_interpret")
+    model_p = SceneModel(mc_p)
+    n, o = batch.objs.shape
+    feats = jnp.full((n, o, cfg.model.rep_size), 0.25)
+    kw = dict(test_mode=True, train=False, features=feats,
+              features_mask=jnp.ones((n, o)),
+              boxes_gt=jnp.asarray(batch.boxes), use_gt_box=True)
+    out_p = model_p.apply(variables, *_args(batch, noise), **kw)
+    out_f = model_f.apply(variables, *_args(batch, noise), **kw)
+    np.testing.assert_allclose(np.asarray(out_p.imgs_pred),
+                               np.asarray(out_f.imgs_pred),
+                               atol=2e-4, rtol=1e-4)
 
 
 def test_factored_train_grad_finite_nonzero(pair):

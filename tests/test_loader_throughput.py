@@ -1,8 +1,9 @@
 """Host data-pipeline throughput (VERDICT r1 weak #6 / item 9).
 
-The measured full adversarial step is 67.6 ms at batch 12 all-bf16
-(~178 img/s; forced-readback timing, RESULTS.md §8 — the earlier
-"81-95 ms" figure was a dispatch-only artifact and is disavowed). The
+The measured full adversarial step is 59.9 ms at batch 12 all-bf16 with
+the factored stem (~200 img/s; forced-readback timing, RESULTS.md §22 —
+round-1's "81-95 ms" figure was a dispatch-only artifact, disavowed in
+§8). The
 loader does PIL JPEG decode + resize + RLE mask rasterization per
 example; on a real (multi-core) TPU host the process-worker loader must
 deliver >= 2x that rate or the TPU starves silently. Dev/CI boxes can
@@ -19,7 +20,8 @@ from scene_generation_tpu.data.coco import CocoSceneGraphDataset
 from scene_generation_tpu.data.fake_coco import make_fake_coco
 from scene_generation_tpu.data.loader import DataLoader
 
-TRAIN_IMGS_PER_SEC = 178.0   # measured, 1x v5e, batch 12 bf16 (67.6 ms)
+TRAIN_IMGS_PER_SEC = 200.0   # measured, 1x v5e, batch 12 bf16 factored
+#                              stem (59.9 ms/step, RESULTS.md §22)
 HEADROOM = 2.0
 WORKERS = 4
 
