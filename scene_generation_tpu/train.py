@@ -339,17 +339,38 @@ def main(argv=None):
         return (shard_batch(b, mesh) for b in loader)
 
     t_start = time.time()
-    while t < cfg.train.num_iterations:
-        epoch += 1
-        # Pin the loader to this epoch number so data order is a pure
-        # function of (seed, epoch) — identical across processes and
-        # across restarts.
-        train_loader.set_epoch(epoch)
-        prefetched = device_prefetch(train_loader, batch_sharding(mesh))
+    timing_anchor = None  # (step, wall) of the previous print (--timing)
+
+    # ONE device_prefetch spanning every epoch: tearing the prefetcher
+    # down per epoch drained its buffer and restarted the feeder thread
+    # at each boundary (~1.3s stall — measured ~30 ms/step amortized on a
+    # 42-step synthetic epoch; RESULTS.md §24). The stream pins each
+    # epoch's loader order to (seed, epoch) exactly as before; epoch_q
+    # tracks which epoch each CONSUMED batch belongs to (the generator
+    # runs ahead of consumption by the prefetch depth, so a plain
+    # variable would drift around boundaries and corrupt the checkpoint
+    # epoch counter used for deterministic resume).
+    import collections
+    epoch_q = collections.deque()
+
+    def epoch_stream():
+        e = epoch
+        while True:
+            e += 1
+            # Data order is a pure function of (seed, epoch) — identical
+            # across processes and across restarts.
+            train_loader.set_epoch(e)
+            for b in train_loader:
+                epoch_q.append(e)
+                yield b
+
+    prefetched = device_prefetch(epoch_stream(), batch_sharding(mesh))
+    while True:
         for batch in prefetched:
             if t >= cfg.train.num_iterations or stop_requested["flag"]:
                 break
             t += 1
+            epoch = epoch_q.popleft()
             if a.profile_dir and t == a.profile_start:
                 jax.profiler.start_trace(a.profile_dir)
             state, metrics = step_fn(state, batch)
@@ -360,8 +381,13 @@ def main(argv=None):
 
             if t % cfg.train.print_every == 0 or t == 1:
                 index = t // cfg.train.print_every
-                scalars = {k: float(v) for k, v in metrics.items()
-                           if not k.startswith("_")}
+                # ONE device->host transfer for every logged scalar:
+                # per-key float() readbacks each pay a full tunnel round
+                # trip (~17 keys x ~30 ms measured ~0.5 s/print;
+                # RESULTS.md §24).
+                scalars = {k: float(v) for k, v in jax.device_get(
+                    {k: v for k, v in metrics.items()
+                     if not k.startswith("_")}).items()}
                 # NaN gate: GAN training diverges silently otherwise. The
                 # check rides the print_every readback (no extra sync). The
                 # last *good* checkpoint is left untouched; the poisoned
@@ -386,9 +412,21 @@ def main(argv=None):
                         f"non-finite losses at t={t}: {bad}; last good "
                         f"checkpoint preserved, poisoned state saved as "
                         f"{cfg.train.checkpoint_name}_nan_abort")
-                rate = t / (time.time() - t_start)
+                now = time.time()
+                rate = t / (now - t_start)
                 print(f"t = {t} / {cfg.train.num_iterations} "
-                      f"({rate:.2f} it/s)")
+                      f"({rate:.2f} it/s)", flush=True)
+                # --timing: SUSTAINED wall ms/step over the window since
+                # the previous print (loader + host->device transfer +
+                # device compute; the float() readbacks above drain the
+                # dispatch queue, so the window is honestly synced). The
+                # t=1 window is compile-polluted and skipped.
+                if a.timing and t > 1 and timing_anchor is not None:
+                    at, atime = timing_anchor
+                    win = (now - atime) / (t - at)
+                    print(f"  [timing] {win * 1e3:.1f} ms/step sustained "
+                          f"over steps {at + 1}..{t}", flush=True)
+                timing_anchor = (t, now)
                 for name, val in sorted(scalars.items()):
                     print(f"  [{name}]: {val:.4f}")
                     meta["losses"].setdefault(name, []).append(val)
@@ -399,7 +437,7 @@ def main(argv=None):
                     # Image grids (reference write_images,
                     # trainer.py:370-392); CHW uint8 for tensorboardX.
                     from scene_generation_tpu.data.image_utils import deprocess
-                    from scene_generation_tpu.vis import one_hot_to_rgb
+                    from scene_generation_tpu.vis import one_hot_to_rgb_compact
                     real = deprocess(np.asarray(batch.imgs[0]))
                     pred = deprocess(np.asarray(metrics["_imgs_pred"][0]))
                     writer.add_image("img/real", real.transpose(2, 0, 1),
@@ -411,13 +449,14 @@ def main(argv=None):
                         # channels are signed embedding values, not class
                         # one-hots — argmax-to-RGB would be meaningless,
                         # so the layout panels are skipped.
-                        lay = one_hot_to_rgb(
-                            np.asarray(metrics["_layout_one_hot"][:1]))[0]
+                        # Palette projection happens on device; only the
+                        # (1, H, W, 3) panels cross the wire.
+                        lay = one_hot_to_rgb_compact(
+                            metrics["_layout_one_hot"][:1])[0]
                         writer.add_image("img/layout",
                                          lay.transpose(2, 0, 1), index)
-                        lay_p = one_hot_to_rgb(
-                            np.asarray(
-                                metrics["_layout_pred_one_hot"][:1]))[0]
+                        lay_p = one_hot_to_rgb_compact(
+                            metrics["_layout_pred_one_hot"][:1])[0]
                         writer.add_image("img/layout_pred",
                                          lay_p.transpose(2, 0, 1), index)
 
@@ -447,8 +486,9 @@ def main(argv=None):
                     writer.add_scalar("checkpoint/val_sg_iou", va[0], t)
                 print(f"saved checkpoint (best={is_best})")
 
-        if stop_requested["flag"]:
-            break
+        # The stream is infinite; the for exits only via its own break
+        # (iteration budget reached or preemption) — one pass total.
+        break
 
     meta["counters"] = {"t": t, "epoch": epoch}
     ckpt.save(state, best=False)

@@ -49,3 +49,13 @@ def test_one_hot_to_rgb():
     rgb = one_hot_to_rgb(layout)
     assert rgb.shape == (1, 8, 8, 3)
     assert rgb.max() == 255
+
+
+def test_one_hot_to_rgb_compact_matches_host():
+    from scene_generation_tpu.vis import one_hot_to_rgb_compact
+    rng = np.random.RandomState(3)
+    layout = rng.rand(2, 8, 8, 7).astype(np.float32)
+    host = one_hot_to_rgb(layout)
+    compact = one_hot_to_rgb_compact(layout)
+    # Same palette, same normalization; f32 einsum on either side.
+    assert np.abs(host.astype(int) - compact.astype(int)).max() <= 1
