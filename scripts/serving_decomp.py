@@ -86,9 +86,8 @@ def main():
                                   dtype=mc.jax_compute_dtype)
             layout = jnp.zeros((bs, h, w, d), mc.jax_compute_dtype)
             if a.factored:
-                import jax as _jax
                 stem_impl = ("pallas"
-                             if _jax.default_backend() == "tpu" else None)
+                             if jax.default_backend() == "tpu" else None)
                 lw = jnp.zeros((bs, h, w, 9), mc.jax_compute_dtype)
                 lv = jnp.zeros((bs, 9, d), mc.jax_compute_dtype)
                 gvars = jax.jit(lambda k, w_, v_: gen.init(
