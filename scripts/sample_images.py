@@ -48,6 +48,10 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--coco_dir", default="datasets/coco")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (same escape hatch as "
+                        "compute_fid/compute_diversity — the remote-TPU "
+                        "compiler is occasionally unavailable)")
     return p.parse_args()
 
 
@@ -82,6 +86,9 @@ def build_loader(model, a):
 
 def main():
     a = parse_args()
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from scene_generation_tpu.api import InferenceModel
     from scene_generation_tpu.data.image_utils import deprocess
     from scene_generation_tpu.metrics import jaccard
