@@ -82,6 +82,10 @@ def check_model(mods: Modules, state: TrainState, loader, use_gt: bool,
         rng, r = jax.random.split(rng)
         noise = jax.random.normal(r, (mods.cfg.model.mask_noise_dim,))
         imgs_pred, iou_sum, r05, r03, nbox = eval_step(state, batch, noise)
+        # ONE host transfer for the four scalars: per-key float() pays a
+        # full round trip each over remote links (train.py print-path
+        # lesson, RESULTS.md §24).
+        iou_sum, r05, r03, nbox = jax.device_get((iou_sum, r05, r03, nbox))
         total_iou += float(iou_sum)
         total_r05 += float(r05)
         total_r03 += float(r03)

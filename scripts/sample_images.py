@@ -93,6 +93,7 @@ def main():
     from scene_generation_tpu.data.image_utils import deprocess
     from scene_generation_tpu.metrics import jaccard
     from scene_generation_tpu.vis import draw_layout, draw_scene_graph
+    import jax
     import jax.numpy as jnp
     import PIL.Image
 
@@ -154,10 +155,14 @@ def main():
             correct, classified = accuracy_fn(
                 acc_vars, out.imgs_pred, acc_boxes,
                 jnp.asarray(batch.objs), jnp.asarray(batch.obj_mask))
+            correct, classified = jax.device_get((correct, classified))
             total_correct += float(correct)
             total_classified += float(classified)
         iou, r05, r03 = jaccard(out.boxes_pred, jnp.asarray(batch.boxes),
                                 jnp.asarray(mask))
+        # One transfer for the scalar stats (RESULTS.md §24 readback
+        # discipline).
+        iou, r05, r03 = jax.device_get((iou, r05, r03))
         total_iou += float(iou)
         total_r05 += float(r05)
         total_r03 += float(r03)

@@ -51,9 +51,14 @@ def test_checkpoint_rows_consume_val_loader_and_are_labeled(tmp_path,
     # (reference parity); the train loader iterates only to feed training.
     assert calls == [True, False]
     assert val_loader.iter_calls == 2
-    # train loader: once for the init batch + once for the training epoch —
-    # never for a check_model row.
-    assert train_loader.iter_calls == 2
+    # train loader: once for the init batch + once per training epoch.
+    # The cross-epoch prefetch stream (RESULTS.md §24) deterministically
+    # runs AHEAD of consumption (depth-2 buffer + one look-ahead pull at
+    # the break), so with 2-step tiny epochs it opens later epochs too —
+    # the exact count is a prefetch implementation detail. The load-
+    # bearing claims are above: both check_model rows consumed the VAL
+    # loader (val_loader.iter_calls == 2, calls == [True, False]).
+    assert train_loader.iter_calls >= 2, train_loader.iter_calls
 
     text = capsys.readouterr().out
     assert "val-gt iou" in text and "val-sg iou" in text
