@@ -177,7 +177,13 @@ def main():
     p.add_argument("--checkpoint_name", default="checkpoint")
     p.add_argument("--features_path", default=None)
     p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (same escape hatch as "
+                        "sample_images/compute_fid/compute_diversity)")
     a = p.parse_args()
+    if a.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     backend = GuiBackend(a.output_dir, a.checkpoint_name, a.features_path,
                          os.path.join(GUI_DIR, "images", "outputs"))
     server = HTTPServer(("0.0.0.0", a.port), make_handler(backend))
