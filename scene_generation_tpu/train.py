@@ -111,6 +111,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     # Inception score during check_model (random-init InceptionV3 unless a
     # torchvision checkpoint is available; see models/inception.py).
     p.add_argument("--eval_inception", action="store_true")
+    # Force the CPU backend (same escape hatch as the eval scripts): for
+    # smoke runs / CI boxes and when the remote-TPU relay is unavailable.
+    p.add_argument("--cpu", action="store_true")
     return p.parse_args(argv)
 
 
@@ -224,6 +227,8 @@ def build_datasets(cfg: Config, a: argparse.Namespace):
 
 def main(argv=None):
     a = parse_args(argv)
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if a.distributed:
         jax.distributed.initialize()
     cfg = config_from_args(a)
