@@ -7,6 +7,9 @@ real COCO download (scripts/download_coco.sh):
     <root>/images/val2017/*.jpg
     <root>/annotations/instances_{train,val}2017.json
     <root>/annotations/stuff_{train,val}2017.json
+    <root>/annotations/panoptic_{train,val}2017.json      (--is_panoptic 1)
+    <root>/annotations/panoptic_coco_categories.json
+    <root>/panoptic/annotations/panoptic_{train,val}2017/*.png
 
 so the full real-data command sequence (JPEG decode -> RLE -> padded
 batches -> jitted step -> checkpoint -> eval pipeline) can be rehearsed
@@ -43,6 +46,19 @@ def build(root: str, num_train: int, num_val: int, size) -> None:
                                  f"instances_{split}.json"))
         shutil.move(paths["stuff_json"],
                     os.path.join(root, "annotations", f"stuff_{split}.json"))
+        # Panoptic variant of the same scenes (train.py --is_panoptic 1).
+        shutil.move(paths["panoptic_json"],
+                    os.path.join(root, "annotations",
+                                 f"panoptic_{split}.json"))
+        dst_pan = os.path.join(root, "panoptic", "annotations",
+                               f"panoptic_{split}")
+        if os.path.isdir(dst_pan):
+            shutil.rmtree(dst_pan)
+        os.makedirs(os.path.dirname(dst_pan), exist_ok=True)
+        shutil.move(paths["panoptic_dir"], dst_pan)
+        shutil.move(paths["panoptic_categories"],
+                    os.path.join(root, "annotations",
+                                 "panoptic_coco_categories.json"))
         shutil.rmtree(tmp)
     print(f"fake COCO layout ready under {root}: "
           f"{num_train} train / {num_val} val images")
