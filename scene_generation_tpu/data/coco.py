@@ -162,6 +162,10 @@ class CocoSceneGraphDataset:
         self.vocab["pred_idx_to_name"] = ["__in_image__"] + PREDICATES
         self.vocab["pred_name_to_idx"] = {
             n: i for i, n in enumerate(self.vocab["pred_idx_to_name"])}
+        # Checkpoints carry the vocab; eval scripts branch on this to
+        # rebuild the matching dataset family (reference
+        # sample_images.py:179 vocab['is_panoptic']).
+        self.vocab["is_panoptic"] = False
 
         self.sample_attributes = None
         if sample_attributes:

@@ -150,6 +150,9 @@ class CocoPanopticSceneGraphDataset(CocoSceneGraphDataset):
         self.vocab["pred_idx_to_name"] = ["__in_image__"] + PREDICATES
         self.vocab["pred_name_to_idx"] = {
             n: i for i, n in enumerate(self.vocab["pred_idx_to_name"])}
+        # Eval scripts rebuild the panoptic dataset family off this flag
+        # (reference sample_images.py:179).
+        self.vocab["is_panoptic"] = True
 
         self.sample_attributes = None
         if sample_attributes:

@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--coco_dir", default="datasets/coco")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (same escape hatch as the "
+                        "other model-forward scripts)")
     return p.parse_args()
 
 
@@ -59,6 +62,8 @@ def cluster(features_dict, n_clusters: int, save_path: str):
 def main():
     a = parse_args()
     import jax
+    if a.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from scene_generation_tpu.api import InferenceModel
     from scene_generation_tpu.data.loader import DataLoader
@@ -69,6 +74,12 @@ def main():
     if a.synthetic:
         from scene_generation_tpu.data.synthetic import SyntheticDataset
         dset = SyntheticDataset(cfg, size=a.num_samples or 64, seed=a.seed)
+    elif model.vocab.get("is_panoptic"):
+        # Panoptic checkpoints re-encode from the panoptic TRAIN split
+        # (reference encode_features.py builds the matching family off
+        # vocab['is_panoptic'], same as sample_images).
+        from scripts.sample_images import build_coco_panoptic_dset
+        dset = build_coco_panoptic_dset(model, a, split="train")
     else:
         from scene_generation_tpu.data.coco import CocoSceneGraphDataset
         d = cfg.data

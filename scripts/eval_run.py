@@ -53,12 +53,18 @@ def main():
                    help="accuracy-net checkpoint (train_accuracy_net.py); "
                         "adds the object-accuracy stage")
     p.add_argument("--accuracy_tiny", type=int, default=1)
+    p.add_argument("--cpu", action="store_true",
+                   help="run every model-forward stage on the CPU backend "
+                        "(passes --cpu through; for CPU-only boxes or when "
+                        "the accelerator is unavailable)")
     a = p.parse_args()
 
     out = a.output_dir
     py = sys.executable
     data_flags = (["--synthetic"] if a.synthetic
                   else ["--coco_dir", a.coco_dir])
+    if a.cpu:
+        data_flags = data_flags + ["--cpu"]
     # Val-set stages (sampling/diversity) additionally honor --test_part;
     # encode_features reads the train split and takes no such flag.
     val_flags = data_flags + ([] if a.synthetic

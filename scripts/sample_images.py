@@ -55,6 +55,32 @@ def parse_args():
     return p.parse_args()
 
 
+def build_coco_panoptic_dset(model, a, split="val"):
+    """Panoptic val/train dataset matching a panoptic checkpoint's vocab
+    (reference sample_images.py:88-112 build_coco_panoptic_dset; selected
+    by vocab['is_panoptic'], :179)."""
+    from scene_generation_tpu.data.coco_panoptic import (
+        CocoPanopticSceneGraphDataset)
+    d = model.cfg.data
+    dset = CocoPanopticSceneGraphDataset(
+        image_dir=os.path.join(a.coco_dir, f"images/{split}2017"),
+        panoptic=os.path.join(
+            a.coco_dir, f"annotations/panoptic_{split}2017.json"),
+        panoptic_segmentation=os.path.join(
+            a.coco_dir, f"panoptic/annotations/panoptic_{split}2017"),
+        panoptic_categories=os.path.join(
+            a.coco_dir, "annotations/panoptic_coco_categories.json"),
+        image_size=d.image_size, mask_size=d.mask_size,
+        min_object_size=d.min_object_size,
+        min_objects_per_image=d.min_objects_per_image,
+        max_objects_per_image=d.max_objects_per_image,
+        sample_attributes=bool(getattr(a, "sample_attributes", 0)),
+        test_part=bool(getattr(a, "test_part", 1)) and split == "val",
+        seed=a.seed)
+    dset.insert_pre_trained_vocab(model.vocab["object_to_idx"])
+    return dset
+
+
 def build_loader(model, a):
     from scene_generation_tpu.data.loader import DataLoader
     cfg = model.cfg
@@ -62,6 +88,8 @@ def build_loader(model, a):
         from scene_generation_tpu.data.synthetic import SyntheticDataset
         dset = SyntheticDataset(cfg, size=max(a.num_samples, a.batch_size),
                                 seed=a.seed + 7)
+    elif model.vocab.get("is_panoptic"):
+        dset = build_coco_panoptic_dset(model, a, split="val")
     else:
         from scene_generation_tpu.data.coco import CocoSceneGraphDataset
         d = cfg.data

@@ -114,6 +114,9 @@ def test_panoptic_dataset(tmp_path_factory):
         image_size=(64, 64), mask_size=16, min_object_size=0.005,
         min_objects_per_image=1, max_objects_per_image=8, seed=0)
     assert len(dset) > 0
+    # Checkpoint vocabs carry the dataset family; eval scripts branch on
+    # it (reference sample_images.py:179).
+    assert dset.vocab["is_panoptic"] is True
     ex = dset[0]
     o = ex.objs.shape[0]
     assert ex.image.shape == (64, 64, 3)
