@@ -49,6 +49,20 @@ def test_stemconv_factored_matches_dense(impl):
                                atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("tile", [8, 16, 32])
+def test_stem_pallas_tile_variants_identical(tile):
+    """tile_h is a pure performance knob (scripts/stem_tile_sweep.py):
+    every tile height must produce identical output."""
+    from scene_generation_tpu.ops.pallas.stem import stem_pallas
+    h = w = 32
+    o, c = 9, 16
+    wmap = jax.random.uniform(jax.random.PRNGKey(6), (2, h + 6, w + 6, o))
+    g = jax.random.normal(jax.random.PRNGKey(7), (2, 7, 7, o, c))
+    base = np.asarray(stem_pallas(wmap, g, interpret=True, tile_h=8))
+    got = np.asarray(stem_pallas(wmap, g, interpret=True, tile_h=tile))
+    np.testing.assert_array_equal(got, base)
+
+
 @pytest.mark.parametrize("test_mode", [False, True])
 def test_weights_contract_to_layout(test_mode):
     cfg = test_config()
