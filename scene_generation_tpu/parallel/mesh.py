@@ -78,6 +78,20 @@ def shard_batch(batch: Batch, mesh: Mesh, axis_name: str = "data") -> Batch:
     return jax.tree.map(lambda x: global_put(x, sh), batch)
 
 
+def local_slice(x, n: int = 1):
+    """First ``n`` examples from the locally-addressable part of ``x``.
+
+    Host-side logging/visualization only needs a sample image; on >1
+    process the batch/metrics leaves are global jax.Arrays spanning
+    non-addressable devices, and eager indexing (or fetching) them from
+    process 0 alone raises. Taking the first LOCAL shard's slice instead
+    is multi-host safe (and a no-op pass-through single-process).
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        x = x.addressable_shards[0].data
+    return x[:n]
+
+
 def replicate_state(state: Any, mesh: Mesh) -> Any:
     """Replicate a pytree (params/opt state/pool) across the mesh.
 

@@ -322,6 +322,21 @@ def main(argv=None):
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
 
+    from scene_generation_tpu.parallel import batch_sharding, shard_batch
+
+    def eval_iter(loader):
+        # check_model feeds host batches straight into a jitted step; on
+        # >1 process the (process-local) batch must first be assembled
+        # into a global array matching the replicated state's mesh.
+        if jax.process_count() == 1:
+            return iter(loader)
+        return (shard_batch(b, mesh) for b in loader)
+
+    # TB image panels only need ONE example; local_slice takes it from
+    # the first locally-addressable shard — multi-host safe (eager global
+    # indexing from process 0 alone would raise on >1 process).
+    from scene_generation_tpu.parallel import local_slice as first_local
+
     if a.initial_eval:
         tr = check_model(mods, state, eval_iter(val_loader), use_gt=True,
                          num_samples=cfg.data.num_val_samples,
@@ -333,15 +348,6 @@ def main(argv=None):
 
     print(f"training on {mesh.devices.size} device(s); "
           f"{cfg.train.num_iterations} iterations")
-    from scene_generation_tpu.parallel import batch_sharding, shard_batch
-
-    def eval_iter(loader):
-        # check_model feeds host batches straight into a jitted step; on
-        # >1 process the (process-local) batch must first be assembled
-        # into a global array matching the replicated state's mesh.
-        if jax.process_count() == 1:
-            return iter(loader)
-        return (shard_batch(b, mesh) for b in loader)
 
     t_start = time.time()
     timing_anchor = None  # (step, wall) of the previous print (--timing)
@@ -443,8 +449,9 @@ def main(argv=None):
                     # trainer.py:370-392); CHW uint8 for tensorboardX.
                     from scene_generation_tpu.data.image_utils import deprocess
                     from scene_generation_tpu.vis import one_hot_to_rgb_compact
-                    real = deprocess(np.asarray(batch.imgs[0]))
-                    pred = deprocess(np.asarray(metrics["_imgs_pred"][0]))
+                    real = deprocess(np.asarray(first_local(batch.imgs)[0]))
+                    pred = deprocess(
+                        np.asarray(first_local(metrics["_imgs_pred"])[0]))
                     writer.add_image("img/real", real.transpose(2, 0, 1),
                                      index)
                     writer.add_image("img/pred", pred.transpose(2, 0, 1),
@@ -457,11 +464,11 @@ def main(argv=None):
                         # Palette projection happens on device; only the
                         # (1, H, W, 3) panels cross the wire.
                         lay = one_hot_to_rgb_compact(
-                            metrics["_layout_one_hot"][:1])[0]
+                            first_local(metrics["_layout_one_hot"]))[0]
                         writer.add_image("img/layout",
                                          lay.transpose(2, 0, 1), index)
                         lay_p = one_hot_to_rgb_compact(
-                            metrics["_layout_pred_one_hot"][:1])[0]
+                            first_local(metrics["_layout_pred_one_hot"]))[0]
                         writer.add_image("img/layout_pred",
                                          lay_p.transpose(2, 0, 1), index)
 

@@ -91,7 +91,20 @@ def check_model(mods: Modules, state: TrainState, loader, use_gt: bool,
         total_r03 += float(r03)
         total_boxes += float(nbox)
         if probs_fn is not None:
-            all_probs.append(np.asarray(probs_fn(imgs_pred)))
+            probs = probs_fn(imgs_pred)
+            if isinstance(probs, jax.Array) and not probs.is_fully_addressable:
+                # Multi-host: probs is batch-sharded across all processes'
+                # devices; np.asarray on it raises. All-gather the (small,
+                # N x K) matrix so every process computes the SAME inception
+                # score — maybe_promote_best consumes it, and divergent
+                # per-process values would desynchronize best-checkpoint
+                # promotion across hosts.
+                from jax.experimental import multihost_utils
+                # tiled=True: global batch-sharded input -> full (N, K)
+                # value on every host (the only mode supported for
+                # non-fully-addressable inputs).
+                probs = multihost_utils.process_allgather(probs, tiled=True)
+            all_probs.append(np.asarray(probs))
         seen += batch.num_images
         if seen >= num_samples:
             break

@@ -111,17 +111,25 @@ def draw_scene_graph(vocab, objs, triples, output_path: Optional[str] = None):
     return png
 
 
+def _palette(c: int, colors: Optional[np.ndarray]) -> np.ndarray:
+    """Seed-0 random palette shared by both one_hot_to_rgb variants."""
+    if colors is not None:
+        return colors
+    return np.random.RandomState(0).randint(0, 256, (c, 3)).astype(np.float32)
+
+
+def _normalize_rgb(rgb: np.ndarray) -> np.ndarray:
+    maxv = rgb.max() or 1.0
+    return (rgb * (255.0 / maxv)).astype(np.uint8)
+
+
 def one_hot_to_rgb(layout_one_hot: np.ndarray,
                    colors: Optional[np.ndarray] = None) -> np.ndarray:
     """Layout channels -> random-color RGB (trainer.py:394-397); NHWC in."""
-    c = layout_one_hot.shape[-1]
-    if colors is None:
-        colors = np.random.RandomState(0).randint(
-            0, 256, (c, 3)).astype(np.float32)
+    colors = _palette(layout_one_hot.shape[-1], colors)
     rgb = np.einsum("nhwc,cd->nhwd", np.asarray(layout_one_hot, np.float32),
                     colors)
-    maxv = rgb.max() or 1.0
-    return (rgb * (255.0 / maxv)).astype(np.uint8)
+    return _normalize_rgb(rgb)
 
 
 def one_hot_to_rgb_compact(layout_one_hot,
@@ -135,15 +143,11 @@ def one_hot_to_rgb_compact(layout_one_hot,
     for TB logging over slow host links (train.py; RESULTS.md §24).
     """
     import jax.numpy as jnp
-    c = layout_one_hot.shape[-1]
-    if colors is None:
-        colors = np.random.RandomState(0).randint(
-            0, 256, (c, 3)).astype(np.float32)
+    colors = _palette(layout_one_hot.shape[-1], colors)
     rgb = np.asarray(jnp.einsum(
         "nhwc,cd->nhwd", jnp.asarray(layout_one_hot, jnp.float32),
         jnp.asarray(colors)))
-    maxv = rgb.max() or 1.0
-    return (rgb * (255.0 / maxv)).astype(np.uint8)
+    return _normalize_rgb(rgb)
 
 
 def _obj_name(vocab, cls: int) -> str:

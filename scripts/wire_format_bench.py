@@ -58,7 +58,9 @@ def main():
     step = make_train_step(mods, donate=False)
 
     def run(wire):
-        nonlocal state
+        # Reads the enclosing `state` but never rebinds it: BOTH wire-format
+        # legs deliberately start from the identical initial weights so the
+        # A/B compares transfer cost, not training trajectory.
         def batches():
             while True:
                 for b in loader:

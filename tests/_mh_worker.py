@@ -58,7 +58,35 @@ def main() -> None:
     loss = float(metrics["total_loss"])
     assert np.isfinite(loss)
     assert int(new_state.step) == 1
-    print(f"RESULT {pid} {loss:.6f}", flush=True)
+
+    # TB image-panel path: metrics/batch leaves are global arrays spanning
+    # non-addressable devices; local_slice must still yield one example.
+    from scene_generation_tpu.parallel import local_slice
+    assert not global_batch.imgs.is_fully_addressable
+    sample = np.asarray(local_slice(metrics["_imgs_pred"])[0])
+    assert sample.shape == metrics["_imgs_pred"].shape[1:]
+    assert np.isfinite(sample).all()
+
+    # check_model over assembled global batches WITH an inception-style
+    # probs_fn: its (N, K) output is batch-sharded across both processes,
+    # and evaluation.py must all-gather it (not np.asarray the global
+    # array) so BOTH processes compute the same score.
+    import jax.numpy as jnp
+    from scene_generation_tpu.trainer.evaluation import check_model
+
+    @jax.jit
+    def probs_fn(imgs):
+        logits = jnp.stack([imgs.mean(axis=(1, 2, 3)),
+                            imgs.std(axis=(1, 2, 3))], axis=-1)
+        return jax.nn.softmax(logits, axis=-1)
+
+    eval_batches = (shard_batch(b, mesh) for b in loader)
+    iou, imean, _, _, _ = check_model(mods, new_state, eval_batches,
+                                      use_gt=True, num_samples=8,
+                                      probs_fn=probs_fn)
+    assert np.isfinite(iou) and np.isfinite(imean) and imean > 0.0
+
+    print(f"RESULT {pid} {loss:.6f} {imean:.6f}", flush=True)
 
 
 if __name__ == "__main__":

@@ -112,14 +112,18 @@ def test_two_process_distributed_train_step():
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    losses = {}
+    losses, imeans = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT "):
-                _, pid, loss = line.split()
+                _, pid, loss, imean = line.split()
                 losses[int(pid)] = float(loss)
+                imeans[int(pid)] = float(imean)
     assert sorted(losses) == [0, 1], f"missing RESULT lines:\n{outs}"
     assert losses[0] == losses[1], "processes must agree bit-for-bit"
+    # check_model's inception score rides a process_allgather; divergent
+    # per-process values would desynchronize best-checkpoint promotion.
+    assert imeans[0] == imeans[1], "inception score must agree across hosts"
 
     # Single-process reference on the identical global batch + init seeds.
     cfg = tiny_config()
