@@ -152,18 +152,42 @@ def build_forward(batch_size, layout_embed_dim=0, factored_stem=True,
     return single, variables, inputs, mc
 
 
-def timed_chain(single, variables, inputs, k, repeats=REPEATS):
-    import jax.numpy as jnp
+def timed_chain_median(step_once, init_carry, sync, k, repeats=REPEATS):
+    """Median wall seconds of ``k`` chained calls (THE timing harness —
+    scripts/{serving_decomp,stem_ab,stem_microbench,stem_tile_sweep}.py
+    import it so the sync discipline lives in exactly one place).
+
+    ``step_once(carry) -> carry`` must thread a data dependency through
+    the chain so the device executes the calls strictly sequentially;
+    ``sync(carry)`` performs ONE host readback to drain the dispatch
+    queue (``block_until_ready`` is a no-op under the axon tunnel).
+    """
     import numpy as np
     ts = []
     for _ in range(repeats):
-        noise = jnp.zeros((64,), jnp.float32)
+        carry = init_carry
         t0 = time.perf_counter()
         for _ in range(k):
-            img, noise = single(variables, inputs, noise)
-        float(jnp.mean(img))  # one readback syncs the whole chain
+            carry = step_once(carry)
+        sync(carry)
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def per_iter_seconds(step_once, init_carry, sync, k=K_LONG, repeats=REPEATS):
+    """Per-iteration device seconds: (T(k) - T(1)) / (k - 1) — the K=1
+    baseline subtraction cancels dispatch + readback latency."""
+    t1 = timed_chain_median(step_once, init_carry, sync, 1, repeats)
+    tk = timed_chain_median(step_once, init_carry, sync, k, repeats)
+    return (tk - t1) / (k - 1)
+
+
+def timed_chain(single, variables, inputs, k, repeats=REPEATS):
+    import jax.numpy as jnp
+    noise0 = jnp.zeros((64,), jnp.float32)
+    return timed_chain_median(
+        lambda c: single(variables, inputs, c[1]),
+        (None, noise0), lambda c: float(jnp.mean(c[0])), k, repeats)
 
 
 def bench_inference(batch_size):
@@ -215,24 +239,11 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
     #                               actual readback must drain the queue
     log(f"[train] first step done {time.perf_counter() - t0:.1f}s "
         f"(incl. init+compile)")
-    import numpy as np
-
-    def chain(k):
-        ts = []
-        for _ in range(3):
-            s, m = state, None
-            t0 = time.perf_counter()
-            for _ in range(k):
-                s, m = step(s, batch)
-            float(m["total_loss"])
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    t1 = chain(1)
-    tk = chain(k_time)
-    dt = (tk - t1) / (k_time - 1)
+    dt = per_iter_seconds(
+        lambda c: step(c[0], batch), (state, None),
+        lambda c: float(c[1]["total_loss"]), k=k_time, repeats=3)
     n = batch.imgs.shape[0]
-    log(f"[train] t1={t1:.3f}s tK={tk:.3f}s -> {dt * 1e3:.1f} ms/step "
+    log(f"[train] -> {dt * 1e3:.1f} ms/step "
         f"(batch {n}, {n / dt:.1f} img/s)")
     return dt, n
 

@@ -20,7 +20,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -29,25 +28,13 @@ REPEATS = 5
 PEAK = 197e12  # v5e bf16 peak
 
 
-def timed_chain(fn, args, noise0, k):
-    import jax.numpy as jnp
-    import numpy as np
-    ts = []
-    for _ in range(REPEATS):
-        noise = noise0
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(k):
-            out, noise = fn(*args, noise)
-        float(jnp.mean(out))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
 def per_iter(fn, args, noise0):
-    t1 = timed_chain(fn, args, noise0, 1)
-    tk = timed_chain(fn, args, noise0, K)
-    return (tk - t1) / (K - 1)
+    # Shared harness (bench.py): carry = (out, noise); one readback syncs.
+    import jax.numpy as jnp
+    from bench import per_iter_seconds
+    return per_iter_seconds(
+        lambda c: fn(*args, c[1]), (None, noise0),
+        lambda c: float(jnp.mean(c[0])), k=K, repeats=REPEATS)
 
 
 def main():

@@ -13,7 +13,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -32,7 +31,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from bench import build_forward
+    from bench import build_forward, per_iter_seconds
 
     # Arms: dense layout stem; factored stem via the XLA 'patches' form;
     # factored stem via the fused Pallas VMEM kernel (the TPU default,
@@ -47,20 +46,10 @@ def main():
             img, _ = single(variables, inputs, noise0)
             float(jnp.mean(img))
 
-            def chain(k):
-                ts = []
-                for _ in range(REPEATS):
-                    noise = noise0
-                    t0 = time.perf_counter()
-                    for _ in range(k):
-                        img, noise = single(variables, inputs, noise)
-                    float(jnp.mean(img))
-                    ts.append(time.perf_counter() - t0)
-                return float(np.median(ts))
-
-            t1 = chain(1)
-            tk = chain(K)
-            dt = (tk - t1) / (K - 1)
+            dt = per_iter_seconds(
+                lambda c, s=single, v=variables, i=inputs: s(v, i, c[1]),
+                (None, noise0), lambda c: float(jnp.mean(c[0])),
+                k=K, repeats=REPEATS)
             print(json.dumps({
                 "arm": arm, "batch": bs,
                 "ms": round(dt * 1e3, 2),

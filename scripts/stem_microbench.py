@@ -13,7 +13,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -22,23 +21,12 @@ REPEATS = 5
 
 
 def per_iter(step, state0):
+    # Shared harness (bench.py): step threads its own carry tuple.
     import jax.numpy as jnp
-    import numpy as np
-
-    def chain(k):
-        ts = []
-        for _ in range(REPEATS):
-            s = state0
-            t0 = time.perf_counter()
-            for _ in range(k):
-                s = step(s)
-            float(jnp.sum(s[0][0, 0, 0]))
-            ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
-
-    t1 = chain(1)
-    tk = chain(K)
-    return (tk - t1) / (K - 1)
+    from bench import per_iter_seconds
+    return per_iter_seconds(
+        step, state0, lambda s: float(jnp.sum(s[0][0, 0, 0])),
+        k=K, repeats=REPEATS)
 
 
 def main():

@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -57,22 +56,16 @@ def main():
             else:
                 assert np.allclose(ref, got, atol=1e-2), (tile, ref, got)
 
-            def chain(k):
-                ts = []
-                for _ in range(REPEATS):
-                    x = weights
-                    t0 = time.perf_counter()
-                    for _ in range(k):
-                        y = stem_pallas(x, g, tile_h=tile)
-                        # data dependency forces sequential execution
-                        x = x + y[:, :1, :1, :1].astype(x.dtype) * 1e-9
-                    float(jnp.mean(y))
-                    ts.append(time.perf_counter() - t0)
-                return float(np.median(ts))
+            def step_once(c, tile=tile):
+                x, _ = c
+                y = stem_pallas(x, g, tile_h=tile)
+                # data dependency forces sequential execution
+                return (x + y[:, :1, :1, :1].astype(x.dtype) * 1e-9, y)
 
-            t1 = chain(1)
-            tk = chain(K)
-            dt = (tk - t1) / (K - 1)
+            from bench import per_iter_seconds
+            dt = per_iter_seconds(step_once, (weights, None),
+                                  lambda c: float(jnp.mean(c[1])),
+                                  k=K, repeats=REPEATS)
             print(json.dumps({"batch": bs, "tile_h": tile,
                               "ms": round(dt * 1e3, 2)}), flush=True)
 
