@@ -27,19 +27,40 @@ class CheckpointManager:
                  use_async: bool = True):
         self.root = os.path.abspath(os.path.join(output_dir, checkpoint_name))
         os.makedirs(self.root, exist_ok=True)
-        # Async serialization: training continues while the (multi-GB at
-        # default config) state streams out; waits are only taken before a
-        # conflicting save/restore or at shutdown.
-        if use_async:
-            self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-        else:
-            self._ckptr = ocp.PyTreeCheckpointer()
-        self._async = use_async
         # Multi-host: the train state is replicated (every process holds a
         # complete copy), so process 0 is the single writer of record —
         # concurrent writers on a shared filesystem would race on the same
         # paths. Every process still restores.
         self._primary = jax.process_index() == 0
+        multi = jax.process_count() > 1
+        # save() is gated to process 0, but Orbax's checkpointers run
+        # process barriers inside save — with the other processes never
+        # entering the call, process 0 would block in
+        # sync_global_processes until the Gloo timeout (caught by
+        # tests/test_multihost.py::test_two_process_train_cli). The SAVE
+        # checkpointer is therefore scoped to active_processes={0} and
+        # built ONLY on process 0 (Orbax refuses to construct a barrier
+        # set excluding the current process). RESTORE is different: every
+        # process restores (it must, to rebuild its replicated state), so
+        # the restore checkpointer keeps the default all-process barrier.
+        save_opts = ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0} if multi else None)
+        # Async serialization: training continues while the (multi-GB at
+        # default config) state streams out; waits are only taken before a
+        # conflicting save/restore or at shutdown.
+        if multi and not self._primary:
+            self._ckptr = None  # this process never writes state
+        elif use_async:
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler(),
+                multiprocessing_options=save_opts)
+        else:
+            self._ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler(),
+                                           multiprocessing_options=save_opts)
+        self._restorer = (
+            self._ckptr if not multi
+            else ocp.Checkpointer(ocp.PyTreeCheckpointHandler()))
+        self._async = use_async
 
     # --- metadata sidecar (args/vocab/history, train.py:132-147) ---
     @property
@@ -55,6 +76,13 @@ class CheckpointManager:
     def save_meta(self, meta: Dict[str, Any]) -> None:
         if not self._primary:
             return
+        # Order AFTER any in-flight async state write: meta.json carries
+        # the resume counters, and landing it before the state commits
+        # would — under a hard kill in the window — leave counters ahead
+        # of the weights (resume would silently skip the gap). The wait
+        # only covers host->disk serialization; the expensive device_get
+        # in save() is synchronous anyway.
+        self.wait()
         tmp = self.meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -80,7 +108,7 @@ class CheckpointManager:
 
     # --- state ---
     def wait(self) -> None:
-        if self._async:
+        if self._async and self._ckptr is not None:
             self._ckptr.wait_until_finished()
 
     def save(self, state, best: bool = False) -> None:
@@ -95,10 +123,29 @@ class CheckpointManager:
         path = os.path.join(self.root, "best" if best else "last")
         if not os.path.exists(path):
             return None
-        return self._ckptr.restore(path, item=jax.device_get(template))
+        return self._restorer.restore(path, item=jax.device_get(template))
 
     def has_checkpoint(self) -> bool:
-        return os.path.exists(os.path.join(self.root, "last"))
+        local = os.path.exists(os.path.join(self.root, "last"))
+        if jax.process_count() == 1:
+            return local
+        # Multi-host: the restore decision must be GLOBAL. If processes
+        # disagreed (per-host local disks; only the writer has files), a
+        # naive per-process check would send process 0 into restore's
+        # all-process barrier alone (hang), or worse, desynchronize the
+        # replicated state. Multi-host resume requires output_dir on a
+        # shared filesystem; a mixed answer is a configuration error.
+        import numpy as np
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([local], dtype=np.int32))
+        if flags.any() and not flags.all():
+            raise RuntimeError(
+                f"checkpoint at {self.root} visible to only "
+                f"{int(flags.sum())}/{jax.process_count()} processes; "
+                "multi-host resume requires output_dir on a filesystem "
+                "shared by all hosts")
+        return bool(flags.all())
 
     # --- best-promotion rule (trainer.py:188-197) ---
     # NOTE: the reference appends val_inception BEFORE comparing with

@@ -10,7 +10,10 @@ in scripts/train_accuracy_net.py:257-259); multi-host DP is framework-bar:
   * proven end-to-end by a REAL 2-process jax.distributed run on CPU
     (4 local devices each -> one 8-device global mesh, one full
     adversarial train step) spawned as subprocesses, cross-checked for
-    numerical equality against the single-process 8-device step.
+    numerical equality against the single-process 8-device step,
+  * and by train.main() itself under 2 processes (loader halves ->
+    assembly -> step -> process-0 TB writer -> check_model ->
+    primary-only Orbax checkpoint), test_two_process_train_cli.
 """
 import os
 import socket
@@ -87,21 +90,19 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_distributed_train_step():
-    """REAL multi-process proof: spawn 2 jax.distributed processes, run one
-    full adversarial step over the 8-device global mesh, and require both
-    processes to agree with each other AND with the single-process step on
-    the same global batch."""
+def _spawn_two(script_name, extra_args=()):
+    """Spawn 2 coordinated jax.distributed worker processes; return their
+    combined stdout+stderr texts (asserting both exited 0)."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)  # worker sets its own 4-device flag
+    env.pop("XLA_FLAGS", None)  # workers set their own device-count flag
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    script = os.path.join(REPO, "tests", "_mh_worker.py")
-    procs = [subprocess.Popen([sys.executable, script, str(i), str(port)],
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True, env=env)
-             for i in range(2)]
+    script = os.path.join(REPO, "tests", script_name)
+    procs = [subprocess.Popen(
+        [sys.executable, script, str(i), str(port), *extra_args],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
     outs = []
     try:
         for p in procs:
@@ -112,18 +113,32 @@ def test_two_process_distributed_train_step():
         for p in procs:
             if p.poll() is None:
                 p.kill()
-    losses, imeans = {}, {}
+    return outs
+
+
+def _parse_results(outs):
+    rows = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT "):
-                _, pid, loss, imean = line.split()
-                losses[int(pid)] = float(loss)
-                imeans[int(pid)] = float(imean)
-    assert sorted(losses) == [0, 1], f"missing RESULT lines:\n{outs}"
+                fields = line.split()
+                rows[int(fields[1])] = [float(x) for x in fields[2:]]
+    assert sorted(rows) == [0, 1], f"missing RESULT lines:\n{outs}"
+    return rows
+
+
+def test_two_process_distributed_train_step():
+    """REAL multi-process proof: spawn 2 jax.distributed processes, run one
+    full adversarial step over the 8-device global mesh, and require both
+    processes to agree with each other AND with the single-process step on
+    the same global batch."""
+    outs = _spawn_two("_mh_worker.py")
+    rows = _parse_results(outs)
+    losses = {pid: vals[0] for pid, vals in rows.items()}
     assert losses[0] == losses[1], "processes must agree bit-for-bit"
     # check_model's inception score rides a process_allgather; divergent
     # per-process values would desynchronize best-checkpoint promotion.
-    assert imeans[0] == imeans[1], "inception score must agree across hosts"
+    assert rows[0][1] == rows[1][1], "inception score must agree across hosts"
 
     # Single-process reference on the identical global batch + init seeds.
     cfg = tiny_config()
@@ -137,3 +152,25 @@ def test_two_process_distributed_train_step():
     _, metrics = make_train_step(mods, donate=False)(state, sharded)
     ref = float(metrics["total_loss"])
     np.testing.assert_allclose(losses[0], ref, rtol=2e-3, atol=1e-5)
+
+
+def test_two_process_train_cli(tmp_path):
+    """train.main() end-to-end under 2 processes: per-process loader
+    halves -> global-batch assembly in the prefetch stream -> jitted step
+    over the 4-device mesh -> process-0-only TB writer (local_slice on
+    non-addressable arrays) -> check_model over assembled val batches ->
+    process-0-only Orbax save (single-writer gating is structural:
+    non-primary managers hold no save checkpointer at all) -> a SECOND
+    main() resuming from the shared checkpoint (global has_checkpoint
+    agreement + all-process restore barrier). Both processes must report
+    identical losses for both legs."""
+    out_dir = str(tmp_path / "mh_run")
+    outs = _spawn_two("_mh_train_worker.py", extra_args=(out_dir,))
+    rows = _parse_results(outs)
+    assert rows[0][0] == rows[1][0], "final loss must agree across hosts"
+    assert rows[0][1] == rows[1][1], "resumed-leg loss must agree too"
+
+    import json
+    meta = json.load(open(os.path.join(out_dir, "checkpoint", "meta.json")))
+    assert meta["counters"] == {"t": 6, "epoch": 3}
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", "last"))
