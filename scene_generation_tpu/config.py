@@ -91,6 +91,11 @@ class ModelConfig:
     compute_dtype: str = "float32"
     # Scan identical resblocks (fast compiles) vs unroll (max throughput).
     scan_blocks: bool = True
+    # Bit-match the reference's ConvTranspose2d(k3, s2, p1, op1) in the
+    # generator upsampling (required to port reference generator weights;
+    # see GlobalGenerator.torch_deconv). Default keeps the flax 'SAME'
+    # variant existing checkpoints were trained with.
+    torch_deconv: bool = False
     # Train-path compositing is XLA-only: the custom-VJP Pallas train pair
     # was removed after honest forced-readback A/Bs (2026-08-17, 1x v5e)
     # showed step-level parity (74.8 vs 74.6 ms) and an 8x-slower op-level

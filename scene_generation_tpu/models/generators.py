@@ -23,6 +23,11 @@ class MaskNet(nn.Module):
     Input (B, dim) vectors viewed as 1x1 maps; repeated [x2 nearest upsample,
     3x3 conv, BN, ReLU] until ``mask_size``, then 1x1 conv to 1 channel.
     Caller applies sigmoid (model.py:107). BN is masked by object validity.
+
+    Init divergence (documented): convs here use N(0, 0.02); the reference
+    builds mask_net OUTSIDE define_G (model.py:69), so weights_init never
+    touches it and its convs keep the torch default (kaiming-uniform).
+    All committed training evidence used this init.
     """
     dim: int
     mask_size: int
@@ -223,6 +228,16 @@ class GlobalGenerator(nn.Module):
     # memory at the 1024-channel bottleneck — the training memory peak
     # (SURVEY.md §7 "donated buffers ... memory peak").
     remat: bool = False
+    # torch_deconv=True makes each upsample bit-match the reference's
+    # ConvTranspose2d(k=3, s=2, p=1, output_padding=1): explicit
+    # ((1,2),(1,2)) padding + transpose_kernel (flipped spatial taps,
+    # (kh, kw, OUT, IN) param layout — kernel = torch_weight.transpose(
+    # 2, 3, 1, 0)). The False default keeps flax's 'SAME' transpose conv —
+    # same shapes, but a one-pixel-shifted, unflipped variant the
+    # in-framework training absorbs; existing checkpoints were trained
+    # with it. Use True when porting reference generator weights
+    # (pinned by tests/test_torch_deconv.py).
+    torch_deconv: bool = False
     dtype: Optional[object] = None
 
     @nn.compact
@@ -276,9 +291,11 @@ class GlobalGenerator(nn.Module):
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
+            deconv_kw = (dict(padding=((1, 2), (1, 2)), transpose_kernel=True)
+                         if self.torch_deconv else dict(padding="SAME"))
             h = nn.ConvTranspose(self.ngf * mult // 2, (3, 3), strides=(2, 2),
-                                 padding="SAME", kernel_init=conv_init_gan,
-                                 dtype=self.dtype)(h)
+                                 kernel_init=conv_init_gan,
+                                 dtype=self.dtype, **deconv_kw)(h)
             h = relu(instance_norm(h))
 
         h = reflect_pad_2d(h, 3)

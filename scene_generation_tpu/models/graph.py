@@ -34,38 +34,51 @@ class GraphTripleConv(nn.Module):
 
     @nn.compact
     def __call__(self, obj_vecs: jax.Array, pred_vecs: jax.Array,
-                 edges: jax.Array, triple_mask: jax.Array, train: bool = True):
+                 edges: jax.Array, triple_mask: jax.Array, train: bool = True,
+                 obj_mask: Optional[jax.Array] = None):
         """
         Args:
           obj_vecs: (N, O, input_dim + attributes_dim).
           pred_vecs: (N, T, input_dim).
           edges: (N, T, 2) int local [s, o] indices.
           triple_mask: (N, T) validity.
+          obj_mask: (N, O) validity; only consumed when
+            mlp_normalization='batch' (net2's masked BN statistics).
         Returns:
           (new_obj_vecs (N, O, Dout), new_pred_vecs (N, T, Dout)).
         """
         h = self.hidden_dim
         dout = self.output_dim if self.output_dim is not None else self.input_dim
         din = self.input_dim
-        o = obj_vecs.shape[1]
+        n, o = obj_vecs.shape[:2]
+        t = pred_vecs.shape[1]
 
         s_vecs, o_vecs = triple_gather(obj_vecs, edges)
         t_vecs = jax.numpy.concatenate([s_vecs, pred_vecs, o_vecs], axis=-1)
-        # net1: [3*Din + 2*A, H, 2H + Dout] (graph.py:49-52).
+        # net1: [3*Din + 2*A, H, 2H + Dout] (graph.py:49-52). Rows are
+        # FLATTENED to (N*T, .) so mlp_normalization='batch' reproduces the
+        # reference's BN1d over the packed triple axis — with the padded
+        # slots excluded from the statistics via triple_mask (the reference
+        # has no padded slots; masked BN is the padded-contract equivalent).
         new_t = MLP((3 * din + 2 * self.attributes_dim, h, 2 * h + dout),
                     batch_norm=self.mlp_normalization, dtype=self.dtype,
                     kernel_init=kaiming_normal, name="net1")(
-                        t_vecs, train=train)
+                        t_vecs.reshape(n * t, -1), train=train,
+                        weights=triple_mask.reshape(n * t)).reshape(n, t, -1)
         new_s = new_t[..., :h]
         new_p = new_t[..., h:h + dout]
         new_o = new_t[..., h + dout:2 * h + dout]
 
         pooled = segment_pool_objects(new_s, new_o, edges, triple_mask, o,
                                       pooling=self.pooling)
-        # net2: [H, H, Dout] (graph.py:54-56).
+        # net2: [H, H, Dout] (graph.py:54-56); same flattened masked-BN
+        # treatment over the object axis.
+        ow = (obj_mask.reshape(n * o)
+              if obj_mask is not None else None)
         new_obj = MLP((h, h, dout), batch_norm=self.mlp_normalization,
                       dtype=self.dtype, kernel_init=kaiming_normal,
-                      name="net2")(pooled, train=train)
+                      name="net2")(pooled.reshape(n * o, -1), train=train,
+                                   weights=ow).reshape(n, o, -1)
         return new_obj, new_p
 
 
@@ -80,7 +93,7 @@ class GraphTripleConvNet(nn.Module):
 
     @nn.compact
     def __call__(self, obj_vecs, pred_vecs, edges, triple_mask,
-                 train: bool = True):
+                 train: bool = True, obj_mask=None):
         # Identical-shape layers: scan over stacked params (single trace).
         outer = self
 
@@ -93,10 +106,15 @@ class GraphTripleConvNet(nn.Module):
                     pooling=outer.pooling,
                     mlp_normalization=outer.mlp_normalization,
                     dtype=outer.dtype, name="gconv")(
-                        obj_vecs, pred_vecs, edges, triple_mask, train=train)
+                        obj_vecs, pred_vecs, edges, triple_mask, train=train,
+                        obj_mask=obj_mask)
                 return (obj_vecs, pred_vecs), None
 
-        scanned = nn.scan(_Body, variable_axes={"params": 0},
+        # batch_stats rides the scan axis too: with mlp_normalization=
+        # 'batch' each layer owns per-layer BN running stats (omitting the
+        # collection made init crash with ScopeCollectionNotFound).
+        scanned = nn.scan(_Body,
+                          variable_axes={"params": 0, "batch_stats": 0},
                           split_rngs={"params": True},
                           length=self.num_layers)
         (obj_vecs, pred_vecs), _ = scanned(name="layers")(

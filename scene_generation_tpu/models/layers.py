@@ -57,10 +57,16 @@ def global_avg_pool(x: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(1, 2))
 
 
-# Initializers matching the reference:
-#   * generator/discriminator convs: normal(0, 0.02) (generators.py:7-13,
-#     discriminators.py:57-63).
-#   * GCN MLP linears: kaiming normal (graph.py:27-30).
+# Initializers. Reference scope of weights_init (normal(0, 0.02) convs):
+# it is applied ONLY through define_G / define_D / define_mask_D
+# (generators.py:56, discriminators.py:72,83), i.e. GlobalGenerator and
+# the two multiscale discriminators. mask_net, AppearanceEncoder, and
+# AcCropDiscriminator are built directly (model.py:69,85,
+# trainer.py:77) and keep torch DEFAULTS (kaiming-uniform convs). We use
+# conv_init_gan in MaskNet too — a DOCUMENTED init divergence (see
+# generators.py MaskNet) — and flax's default (lecun-normal) in CNN where
+# the reference uses the torch default; both are framework defaults, not
+# weights_init. GCN MLP linears: kaiming normal (graph.py:27-30) — parity.
 conv_init_gan = nn.initializers.normal(stddev=0.02)
 kaiming_normal = nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
 
@@ -102,8 +108,13 @@ class MaskedBatchNorm(nn.Module):
         scale = self.param("scale", nn.initializers.normal(0.02, jnp.float32),
                            (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
-        # torch BN init: weight ~ N(1, 0.02) in the reference's weights_init
-        # (generators.py:11-13); realized as 1 + N(0, 0.02).
+        # Scale init 1 + N(0, 0.02): this is weights_init's BN rule
+        # (generators.py:11-13), but NOTE the reference never actually
+        # applies weights_init to a module containing BN (define_G/define_D
+        # nets are instance-norm); its BN layers keep the torch-1.0
+        # default (weight ~ U(0, 1)). Divergence kept deliberately — a
+        # near-identity BN scale is the saner start, and all committed
+        # training evidence used it.
         scale = scale + 1.0
 
         if use_ra:
@@ -250,20 +261,6 @@ class CNN(nn.Module):
     pooling: str = "max"
     dtype: Optional[Dtype] = None
 
-    @staticmethod
-    def out_channels(arch: str) -> int:
-        cur = 3
-        specs = arch.split(",")
-        if specs and specs[0].startswith("I"):
-            cur = int(specs[0][1:])
-            specs = specs[1:]
-        for s in specs:
-            if s.startswith("C"):
-                cur = int(s[1:].split("-")[1])
-            elif s.startswith("FC"):
-                cur = int(s.split("-")[2])
-        return cur
-
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True,
                  weights: Optional[jax.Array] = None) -> jax.Array:
@@ -325,8 +322,7 @@ class CNN(nn.Module):
 def avg_pool_3x3_s2(x: jax.Array) -> jax.Array:
     """AvgPool2d(3, stride=2, padding=1, count_include_pad=False) — the
     between-scale downsampler of the multiscale discriminators
-    (discriminators.py:99,184)."""
-    ones = jnp.ones_like(x[..., :1])
-    summed = nn.pool(x, 0.0, jax.lax.add, (3, 3), (2, 2), ((1, 1), (1, 1)))
-    count = nn.pool(ones, 0.0, jax.lax.add, (3, 3), (2, 2), ((1, 1), (1, 1)))
-    return summed / count
+    (discriminators.py:99,184). flax's avg_pool implements the
+    edge-count correction directly."""
+    return nn.avg_pool(x, (3, 3), (2, 2), padding=((1, 1), (1, 1)),
+                       count_include_pad=False)

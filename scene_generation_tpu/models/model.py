@@ -99,7 +99,8 @@ class SceneModel(nn.Module):
             output_nc=cfg.output_nc, ngf=cfg.ngf,
             n_downsampling=cfg.n_downsample_global,
             n_blocks=cfg.n_blocks_global, scan_blocks=cfg.scan_blocks,
-            remat=cfg.remat_generator, dtype=dtype)
+            remat=cfg.remat_generator, torch_deconv=cfg.torch_deconv,
+            dtype=dtype)
 
     def __call__(self,
                  objs: jax.Array,
@@ -137,7 +138,8 @@ class SceneModel(nn.Module):
 
         with jax.named_scope("gcn"):
             obj_vecs = self.scene_graph_to_vectors(objs, triples, attributes,
-                                                   triple_mask, train)
+                                                   triple_mask, train,
+                                                   obj_mask=obj_mask)
 
         # --- create_components_vecs (model.py:145-172) ---
         box_vecs = obj_vecs
@@ -171,7 +173,11 @@ class SceneModel(nn.Module):
         layout_vecs = jnp.concatenate([cls_vecs, obj_repr], axis=-1)
 
         # --- boxes (model.py:103) + masks (model.py:106-107) ---
-        boxes_pred = self.box_net(box_vecs, train=train).astype(jnp.float32)
+        # Flattened rows + obj_mask weights so mlp_normalization='batch'
+        # excludes padded object slots from box_net's BN statistics.
+        boxes_pred = self.box_net(
+            box_vecs.reshape(n * o, -1), train=train,
+            weights=flat_w).reshape(n, o, 4).astype(jnp.float32)
         mask_logits = self.mask_net(
             mask_vecs.reshape(n * o, cfg.g_mask_dim), train=train,
             weights=flat_w)
@@ -276,8 +282,12 @@ class SceneModel(nn.Module):
         return self.repr_net(enc, train=train, weights=weights)
 
     def scene_graph_to_vectors(self, objs, triples, attributes, triple_mask,
-                               train: bool = True):
-        """Reference ``scene_graph_to_vectors`` (model.py:126-143)."""
+                               train: bool = True, obj_mask=None):
+        """Reference ``scene_graph_to_vectors`` (model.py:126-143).
+
+        ``obj_mask`` feeds the gconv net2 masked-BN statistics when
+        mlp_normalization='batch' (padded slots excluded, matching the
+        reference's BN1d over its packed, pad-free object axis)."""
         cfg = self.cfg
         p = triples[..., 1]
         edges = jnp.stack([triples[..., 0], triples[..., 2]], axis=-1)
@@ -292,8 +302,10 @@ class SceneModel(nn.Module):
             obj_vecs = self.gconv_linear(obj_vecs)
         else:
             obj_vecs, pred_vecs = self.gconv(obj_vecs, pred_vecs, edges,
-                                             triple_mask, train=train)
+                                             triple_mask, train=train,
+                                             obj_mask=obj_mask)
         if cfg.gconv_num_layers > 1:
             obj_vecs, pred_vecs = self.gconv_net(obj_vecs, pred_vecs, edges,
-                                                 triple_mask, train=train)
+                                                 triple_mask, train=train,
+                                                 obj_mask=obj_mask)
         return obj_vecs

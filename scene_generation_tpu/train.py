@@ -74,6 +74,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="terminal box-head nonlinearity; 'relu' is "
                         "reference parity but can dead-ReLU collapse "
                         "(config.py ModelConfig.box_net_final)")
+    p.add_argument("--torch_deconv", type=int, default=0,
+                   help="1 = exact torch ConvTranspose2d(3,2,1,op=1) "
+                        "upsampling (for reference-weight ports); 0 = "
+                        "flax SAME variant all committed checkpoints use "
+                        "(config.py ModelConfig.torch_deconv)")
     # Loss weights (args.py:70-79).
     p.add_argument("--box_loss_gated", type=int, default=1,
                    help="1 (reference parity): box MSE only on use_gt "
@@ -124,7 +129,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
             model=dataclasses.replace(cfg.model,
                                       compute_dtype=a.compute_dtype,
                                       layout_embed_dim=a.layout_embed_dim,
-                                      box_net_final=a.box_net_final),
+                                      box_net_final=a.box_net_final,
+                                      torch_deconv=bool(a.torch_deconv)),
             loss=dataclasses.replace(cfg.loss,
                                      box_loss_gated=bool(a.box_loss_gated)))
         return cfg.replace(train=dataclasses.replace(
@@ -148,7 +154,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
                           use_attributes=bool(a.use_attributes),
                           compute_dtype=a.compute_dtype,
                           layout_embed_dim=a.layout_embed_dim,
-                          box_net_final=a.box_net_final),
+                          box_net_final=a.box_net_final,
+                          torch_deconv=bool(a.torch_deconv)),
         loss=LossConfig(
             l1_pixel_loss_weight=a.l1_pixel_loss_weight,
             bbox_pred_loss_weight=a.bbox_pred_loss_weight,
