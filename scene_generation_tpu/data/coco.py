@@ -38,6 +38,11 @@ from scene_generation_tpu.data.scene_graph import (
 
 
 class CocoSceneGraphDataset:
+    # Mask re-binarization threshold after resize: the reference uses
+    # > 128 for instances (coco.py:309) but > 127 for panoptic
+    # (coco_panoptic.py:355); the subclass overrides.
+    _mask_threshold = 128
+
     def __init__(self, image_dir: str, instances_json: str,
                  stuff_json: Optional[str] = None, stuff_only: bool = True,
                  image_size: Tuple[int, int] = (64, 64), mask_size: int = 16,
@@ -243,7 +248,8 @@ class CocoSceneGraphDataset:
             my0, my1 = int(round(y)), int(round(y + bh))
             mx1 = max(mx0 + 1, mx1)
             my1 = max(my0 + 1, my1)
-            masks.append(resize_mask(mask[my0:my1, mx0:mx1], self.mask_size))
+            masks.append(resize_mask(mask[my0:my1, mx0:mx1], self.mask_size,
+                                     threshold=self._mask_threshold))
 
         if not self.no_image_obj:
             objs.append(0)

@@ -34,6 +34,8 @@ def rgb2id(color: np.ndarray) -> np.ndarray:
 
 
 class CocoPanopticSceneGraphDataset(CocoSceneGraphDataset):
+    _mask_threshold = 127  # reference coco_panoptic.py:355 'mask > 127'
+
     def __init__(self, image_dir: str, panoptic: str,
                  panoptic_segmentation: str,
                  panoptic_categories: Optional[str] = None,

@@ -34,22 +34,40 @@ def normalize(img: np.ndarray) -> np.ndarray:
     return img
 
 
-def deprocess(img: np.ndarray) -> np.ndarray:
-    """[-1, 1] float -> uint8 (reference imagenet_deprocess_batch,
-    data/utils.py:32-51); uint8 wire-format input passes through."""
+def deprocess(img: np.ndarray, rescale: bool = True) -> np.ndarray:
+    """[-1, 1] float (one image, HWC) -> uint8 (reference
+    imagenet_deprocess_batch, data/utils.py:32-51); uint8 wire-format
+    input passes through.
+
+    ``rescale=True`` (the reference default, data/utils.py:17-28) min-max
+    stretches the un-normalized image to the full [0, 255] range —
+    previously this clipped instead, leaving every saved/eval image
+    systematically lower-contrast than the reference pipeline's.
+    ``rescale=False`` gives the old clipping behavior.
+    """
     if img.dtype == np.uint8:
         return img
-    arr = np.clip(img * STD + MEAN, 0.0, 1.0)
+    arr = img * STD + MEAN
+    if rescale:
+        lo, hi = arr.min(), arr.max()
+        # Reference rescale() divides by (hi - lo) unguarded; guard the
+        # constant-image edge so synthetic smoke data cannot NaN.
+        arr = (arr - lo) / max(hi - lo, 1e-12)
+    else:
+        arr = np.clip(arr, 0.0, 1.0)
     return (arr * 255).astype(np.uint8)
 
 
-def resize_mask(mask: np.ndarray, size: int) -> np.ndarray:
+def resize_mask(mask: np.ndarray, size: int,
+                threshold: int = 128) -> np.ndarray:
     """Resize a binary mask to (size, size) and re-binarize.
 
-    Reference: skimage anti-aliased resize of 255*mask then > 128 threshold
-    (coco.py:308-309); PIL bilinear approximates the anti-aliased resize.
+    Reference: skimage anti-aliased resize of 255*mask then a threshold —
+    ``> 128`` for instances (coco.py:308-309) but ``> 127`` for panoptic
+    (coco_panoptic.py:355); PIL bilinear approximates the anti-aliased
+    resize, and callers pass the family's threshold.
     """
     im = PIL.Image.fromarray((mask * 255).astype(np.uint8))
     arr = np.asarray(im.resize((size, size), PIL.Image.BILINEAR),
                      np.float32)
-    return (arr > 128).astype(np.int64)
+    return (arr > threshold).astype(np.int64)

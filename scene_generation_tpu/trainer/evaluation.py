@@ -54,11 +54,20 @@ def make_eval_step(mods: Modules, use_gt: bool):
 
 def inception_score_from_probs(probs: np.ndarray,
                                splits: int = 5) -> Tuple[float, float]:
-    """exp(mean KL(p(y|x) || p(y))) per split (inception_score.py:47-61)."""
-    n = probs.shape[0]
+    """exp(mean KL(p(y|x) || p(y))) per split (inception_score.py:47-61).
+
+    Split boundaries match the reference exactly: ``splits`` chunks of
+    N // splits images, DROPPING the N % splits remainder (the reference's
+    ``preds[k*(N//splits):(k+1)*(N//splits)]``) — folding the remainder in
+    changed per-split p(y) for any N not divisible by splits."""
+    n = probs.shape[0] // splits
+    if n == 0:
+        # Fewer images than splits (tiny smoke runs): score one split
+        # instead of NaN-ing like the reference formula would.
+        n = max(probs.shape[0], 1)
     scores = []
     for i in range(splits):
-        part = probs[i * n // splits:(i + 1) * n // splits]
+        part = probs[i * n:(i + 1) * n]
         if len(part) == 0:
             continue
         py = part.mean(axis=0, keepdims=True)
