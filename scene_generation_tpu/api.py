@@ -116,14 +116,25 @@ class InferenceModel:
             feats, feats_mask)
 
     def sample_cluster_features(self, objs: np.ndarray, obj_mask: np.ndarray,
-                                rng: np.random.RandomState) -> np.ndarray:
+                                rng: np.random.RandomState
+                                ) -> Tuple[np.ndarray, np.ndarray]:
         """Random per-class cluster feature per object
-        (sample_images.py:210-215)."""
+        (sample_images.py:210-215).
+
+        Returns ``(features, features_mask)``: the mask is 1 only where a
+        cluster entry actually exists, so objects with no entry fall back
+        to the model's repr_net path (model.py:159-163) instead of having
+        their appearance forced to zero. Raises like the reference
+        (sample_images.py:170-174 ValueError) when no table was loaded.
+        """
+        if self.features is None:
+            raise ValueError(
+                "No features file: pass features_path (scripts/"
+                "encode_features.py output) to sample appearance clusters")
         n, o = objs.shape
         rep = self.cfg.model.rep_size
         out = np.zeros((n, o, rep), np.float32)
-        if self.features is None:
-            return out
+        mask = np.zeros((n, o), np.float32)
         for i in range(n):
             for j in range(o):
                 if obj_mask[i, j] == 0:
@@ -133,7 +144,8 @@ class InferenceModel:
                 if feats is None or len(feats) == 0:
                     continue
                 out[i, j] = feats[rng.randint(len(feats))]
-        return out
+                mask[i, j] = 1.0
+        return out, mask
 
     # --- JSON scene graphs (GUI path) ---------------------------------------
     def encode_scene_graphs(self, scene_graphs, rand: bool = False):
@@ -183,16 +195,22 @@ class InferenceModel:
                 triples.append([i, pred_to_idx["__in_image__"], o - 1])
 
             feats = np.zeros((o, mc.rep_size), np.float32)
+            fmask = np.zeros((o,), np.float32)
             for ind, (cls, fid) in enumerate(zip(objs, feature_ids)):
                 table = self.features if self.features is not None else {}
                 one = self.features_one or table
                 cls = int(cls)
                 if fid == -1 and cls in (one or {}):
                     feats[ind] = one[cls][0]
+                    fmask[ind] = 1.0
                 elif table and cls in table:
                     k = len(table[cls])
                     feats[ind] = table[cls][min(int(fid), k - 1)]
-            feats_list.append(feats)
+                    fmask[ind] = 1.0
+                # No cluster entry (or no table at all): leave mask 0 so
+                # the model's repr_net fallback supplies the appearance
+                # (model.py:159-163) instead of a forced zero vector.
+            feats_list.append((feats, fmask))
 
             examples.append(Example(
                 image=np.zeros((h, w, 3), np.float32),
@@ -205,13 +223,17 @@ class InferenceModel:
         batch = collate(examples, dc.max_objs, dc.max_triples)
         n = batch.num_images
         features = np.zeros((n, dc.max_objs, mc.rep_size), np.float32)
-        for i, f in enumerate(feats_list):
+        features_mask = np.zeros((n, dc.max_objs), np.float32)
+        for i, (f, fm) in enumerate(feats_list):
             features[i, :f.shape[0]] = f
-        return batch, features
+            features_mask[i, :fm.shape[0]] = fm
+        return batch, features, features_mask
 
     def forward_json(self, scene_graphs) -> Tuple[ModelOutput, Batch]:
         """Reference ``forward_json`` (model.py:252-256)."""
-        batch, features = self.encode_scene_graphs(scene_graphs)
+        batch, features, features_mask = self.encode_scene_graphs(
+            scene_graphs)
         out = self.forward_batch(batch, use_gt_attributes=True,
-                                 features=features)
+                                 features=features,
+                                 features_mask=features_mask)
         return out, batch

@@ -70,10 +70,12 @@ def main():
     for batch in loader:
         if len(dists) >= a.num_samples:
             break
-        f1 = model.sample_cluster_features(batch.objs, batch.obj_mask, rng)
-        f2 = model.sample_cluster_features(batch.objs, batch.obj_mask, rng)
-        out1 = model.forward_batch(batch, features=f1)
-        out2 = model.forward_batch(batch, features=f2)
+        f1, m1 = model.sample_cluster_features(batch.objs, batch.obj_mask,
+                                               rng)
+        f2, m2 = model.sample_cluster_features(batch.objs, batch.obj_mask,
+                                               rng)
+        out1 = model.forward_batch(batch, features=f1, features_mask=m1)
+        out2 = model.forward_batch(batch, features=f2, features_mask=m2)
         d = lpips_fn(out1.imgs_pred, out2.imgs_pred)
         dists.extend(np.asarray(d).tolist())
         b = lpips_fn(out1.imgs_pred, np.roll(np.asarray(out1.imgs_pred),

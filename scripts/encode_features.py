@@ -83,6 +83,10 @@ def main():
     else:
         from scene_generation_tpu.data.coco import CocoSceneGraphDataset
         d = cfg.data
+        # Filtering follows the CHECKPOINT's data config (the reference
+        # pulls min_object_size etc. from checkpoint_args,
+        # encode_features.py:44-47) so the cluster dictionary is built
+        # over the same object population the repr space was trained on.
         dset = CocoSceneGraphDataset(
             image_dir=os.path.join(a.coco_dir, "images/train2017"),
             instances_json=os.path.join(
@@ -90,6 +94,9 @@ def main():
             stuff_json=os.path.join(
                 a.coco_dir, "annotations/stuff_train2017.json"),
             image_size=d.image_size, mask_size=d.mask_size,
+            min_object_size=d.min_object_size,
+            min_objects_per_image=d.min_objects_per_image,
+            max_objects_per_image=d.max_objects_per_image,
             max_samples=a.num_samples, seed=a.seed)
         dset.insert_pre_trained_vocab(model.vocab["object_to_idx"])
     loader = DataLoader(dset, batch_size=a.batch_size,
@@ -101,20 +108,23 @@ def main():
 
     from scene_generation_tpu.models.model import SceneModel
 
+    # Weights enter as ARGUMENTS: closure-captured params would be baked
+    # into the traced HLO as constants and constant-folded at (remote)
+    # compile time (CLAUDE.md "NEVER closure-capture big arrays").
     @jax.jit
-    def encode(imgs, boxes, obj_mask):
+    def encode(variables, imgs, boxes, obj_mask):
         from scene_generation_tpu.ops.images import wire_to_float
         n, o = boxes.shape[:2]
         crops = crop_bbox_batch(wire_to_float(imgs), boxes, mc.object_size)
         flat = crops.reshape(n * o, mc.object_size, mc.object_size, 3)
-        variables = {"params": state.g_params, "batch_stats": state.g_stats}
         return mods.model.apply(variables, flat, False,
                                 obj_mask.reshape(n * o),
                                 method=SceneModel.encode_crops)
 
+    g_vars = {"params": state.g_params, "batch_stats": state.g_stats}
     feats_by_class = defaultdict(list)
     for batch in loader:
-        enc = np.asarray(encode(jnp.asarray(batch.imgs),
+        enc = np.asarray(encode(g_vars, jnp.asarray(batch.imgs),
                                 jnp.asarray(batch.boxes),
                                 jnp.asarray(batch.obj_mask)))
         n, o = batch.objs.shape

@@ -70,14 +70,21 @@ def main():
     val_flags = data_flags + ([] if a.synthetic
                               else ["--test_part", str(a.test_part)])
 
-    # 1. appearance clusters
-    if not os.path.exists(os.path.join(out, "features_clustered_100.npy")):
+    # 1. appearance clusters (encode_features writes k=100/10/1 tables)
+    if not all(os.path.exists(os.path.join(
+            out, f"features_clustered_{k}.npy")) for k in ("100", "001")):
         sh([py, "scripts/encode_features.py", "--output_dir", out,
             "--checkpoint_name", a.checkpoint_name,
             "--num_samples", str(a.encode_samples), "--batch_size", "8",
             "--save_dir", out] + data_flags)
 
-    feats = os.path.join(out, "features_clustered_100.npy")
+    # The reference sampling protocol hardcodes the k=1 cluster table
+    # (sample_images.py:168-174 features_clustered_001.npy): appearance is
+    # the per-class center, deterministic. Diversity (stage 4) instead
+    # needs appearance VARIETY between two draws of the same scene, so it
+    # keeps the k=100 table.
+    feats = os.path.join(out, "features_clustered_001.npy")
+    feats100 = os.path.join(out, "features_clustered_100.npy")
 
     # 2. sampling modes (reference Figure-3 ablations, README.md:84-94)
     modes = {
@@ -122,7 +129,7 @@ def main():
     if not a.skip_diversity and not os.path.exists(div):
         sh([py, "scripts/compute_diversity.py", "--output_dir", out,
             "--checkpoint_name", a.checkpoint_name,
-            "--features_path", feats,
+            "--features_path", feats100,
             "--num_samples", str(a.diversity_samples),
             "--batch_size", "8", "--out_json", div] + val_flags)
 

@@ -55,6 +55,16 @@ def parse_args():
     return p.parse_args()
 
 
+def _eval_mask_size(d, a) -> int:
+    """--use_gt_masks evaluates with FULL-RESOLUTION GT masks: the
+    reference raises mask_size to image_size[0] for that ablation
+    (sample_images.py:67); every other mode keeps the checkpoint's
+    mask_size."""
+    if getattr(a, "use_gt_masks", 0):
+        return d.image_size[0]
+    return d.mask_size
+
+
 def build_coco_panoptic_dset(model, a, split="val"):
     """Panoptic val/train dataset matching a panoptic checkpoint's vocab
     (reference sample_images.py:88-112 build_coco_panoptic_dset; selected
@@ -70,12 +80,13 @@ def build_coco_panoptic_dset(model, a, split="val"):
             a.coco_dir, f"panoptic/annotations/panoptic_{split}2017"),
         panoptic_categories=os.path.join(
             a.coco_dir, "annotations/panoptic_coco_categories.json"),
-        image_size=d.image_size, mask_size=d.mask_size,
+        image_size=d.image_size, mask_size=_eval_mask_size(d, a),
         min_object_size=d.min_object_size,
         min_objects_per_image=d.min_objects_per_image,
         max_objects_per_image=d.max_objects_per_image,
         sample_attributes=bool(getattr(a, "sample_attributes", 0)),
         test_part=bool(getattr(a, "test_part", 1)) and split == "val",
+        max_samples=getattr(a, "num_samples", None),  # reference :74
         seed=a.seed)
     dset.insert_pre_trained_vocab(model.vocab["object_to_idx"])
     return dset
@@ -99,12 +110,14 @@ def build_loader(model, a):
                 a.coco_dir, "annotations/instances_val2017.json"),
             stuff_json=os.path.join(
                 a.coco_dir, "annotations/stuff_val2017.json"),
-            image_size=d.image_size, mask_size=d.mask_size,
+            image_size=d.image_size, mask_size=_eval_mask_size(d, a),
             min_object_size=d.min_object_size,
             min_objects_per_image=d.min_objects_per_image,
             max_objects_per_image=d.max_objects_per_image,
             sample_attributes=bool(a.sample_attributes),
-            test_part=bool(getattr(a, "test_part", 1)), seed=a.seed)
+            test_part=bool(getattr(a, "test_part", 1)),
+            max_samples=a.num_samples,  # reference sample_images.py:74
+            seed=a.seed)
         dset.insert_pre_trained_vocab(model.vocab["object_to_idx"])
     return DataLoader(dset, batch_size=a.batch_size,
                       max_objs=cfg.data.max_objs,
@@ -163,17 +176,17 @@ def main():
     saved = 0
     for batch in loader:
         if a.use_gt_textures:
-            features = None
+            features = features_mask = None
         else:
-            features = model.sample_cluster_features(batch.objs,
-                                                     batch.obj_mask, rng)
+            features, features_mask = model.sample_cluster_features(
+                batch.objs, batch.obj_mask, rng)
         # Attributes are zeroed unless --use_gt_attr, regardless of
         # sampling mode (reference sample_images.py:216-217).
         out = model.forward_batch(
             batch, use_gt_boxes=bool(a.use_gt_boxes),
             use_gt_masks=bool(a.use_gt_masks),
             use_gt_attributes=bool(a.use_gt_attr),
-            features=features)
+            features=features, features_mask=features_mask)
         mask = batch.obj_mask * (batch.objs != 0)
         if accuracy_fn is not None:
             # Crops come from GT boxes only under --use_gt_boxes

@@ -57,9 +57,13 @@ def test_sample_images_cli(ckpt_dir, tmp_path):
     from scripts.sample_images import main as sample_main
     save = str(tmp_path / "samples")
     old = sys.argv
+    # --use_gt_textures: texture sampling without a features file raises
+    # (reference sample_images.py:170-174 ValueError), so the hermetic
+    # smoke uses GT appearance.
     sys.argv = ["sample_images.py", "--output_dir", ckpt_dir, "--synthetic",
                 "--batch_size", "2", "--num_samples", "2", "--save_dir",
-                save, "--use_gt_boxes", "1", "--use_gt_masks", "1"]
+                save, "--use_gt_boxes", "1", "--use_gt_masks", "1",
+                "--use_gt_textures", "1"]
     try:
         sample_main()
     finally:
