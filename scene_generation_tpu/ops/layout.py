@@ -26,6 +26,16 @@ import jax.numpy as jnp
 
 from scene_generation_tpu.ops.sampling import box_sample_matrices
 
+# TPU matmuls with f32 inputs default to ONE bf16xbf16 MXU pass, whose
+# ~8-bit mantissa rounds resampled sigmoid-init masks (0.500x) down to
+# exactly 0.5 — the test-mode `> 0.5` claim then fires nowhere and the
+# whole weight field (hence the generated image) is exactly zero
+# (observed on v5e at image_size=64; 128 survived only by init luck).
+# HIGHEST restores true-f32 passes for f32 inputs, keeping the op's
+# pinned torch-grid_sample semantics on TPU; bf16 inputs are a single
+# native pass either way, so serving throughput is unaffected.
+_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _sample_masks(boxes: jax.Array, masks: jax.Array, h: int, w: int):
     """Resample (N, O, M, M) masks into image space -> (N, O, H, W)."""
@@ -33,9 +43,9 @@ def _sample_masks(boxes: jax.Array, masks: jax.Array, h: int, w: int):
     ry, rx = box_sample_matrices(boxes, h, w, m)        # (N,O,H,M), (N,O,W,M)
     # sampled[n,o,h,w] = sum_{i,j} ry[n,o,h,i] mask[n,o,i,j] rx[n,o,w,j]
     tmp = jnp.einsum("nohi,noij->nohj", ry, masks.astype(ry.dtype),
-                     preferred_element_type=ry.dtype)
+                     preferred_element_type=ry.dtype, precision=_PRECISION)
     return jnp.einsum("nohj,nowj->nohw", tmp, rx,
-                      preferred_element_type=ry.dtype)
+                      preferred_element_type=ry.dtype, precision=_PRECISION)
 
 
 def masks_to_layout_weights(vecs: jax.Array, boxes: jax.Array,
