@@ -155,7 +155,7 @@ def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,
     weights = masks_to_layout_weights(vecs, boxes, masks, obj_mask, h, w,
                                       test_mode=test_mode)
     return jnp.einsum("nohw,nod->nhwd", weights, vecs,
-                      preferred_element_type=dtype)
+                      preferred_element_type=dtype, precision=_PRECISION)
 
 
 def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
@@ -176,7 +176,7 @@ def _masks_to_layout_pallas(vecs, boxes, masks, obj_mask, h, w,
     # mass of vec (x) sampled mask = sum(vec) * sum(sampled); the sum of
     # the separable resample factorizes over the marginals of ry/rx.
     sampled_sum = jnp.einsum("nom,nomk,nok->no", ry.sum(axis=2), masks,
-                             rx.sum(axis=2))
+                             rx.sum(axis=2), precision=_PRECISION)
     mass = jnp.sum(vecs, axis=-1) * sampled_sum
     big = jnp.asarray(jnp.finfo(jnp.float32).max, mass.dtype)
     mass = jnp.where(valid.astype(bool), mass, big)

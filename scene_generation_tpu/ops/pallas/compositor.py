@@ -73,12 +73,20 @@ def masks_to_layout_pallas(vecs: jax.Array, ry: jax.Array, rx: jax.Array,
     def kernel(vecs_ref, ry_ref, rx_ref, masks_ref, out_ref):
         acc = jnp.zeros((tile_h, w, d), jnp.float32)
         taken = jnp.zeros((tile_h, w), jnp.float32)
+        # precision=HIGHEST for the same reason as ops/layout.py:_PRECISION:
+        # a single bf16 MXU pass on f32 inputs rounds resampled sigmoid-init
+        # masks (0.500x) down to exactly 0.5, so the `> 0.5` claim below
+        # fires nowhere and f32 serving composites an all-zero layout.
+        # bf16 inputs are one native pass either way (throughput unaffected).
+        prec = jax.lax.Precision.HIGHEST
         for k in range(o):
             # Resample object k's mask for this row tile: two MXU matmuls.
             tmp = jnp.dot(ry_ref[k], masks_ref[k],
-                          preferred_element_type=jnp.float32)     # (TH, M)
+                          preferred_element_type=jnp.float32,
+                          precision=prec)                          # (TH, M)
             sampled = jnp.dot(tmp, rx_ref[k].T,
-                              preferred_element_type=jnp.float32)  # (TH, W)
+                              preferred_element_type=jnp.float32,
+                              precision=prec)                      # (TH, W)
             binm = (sampled > 0.5).astype(jnp.float32)
             claim = binm * (1.0 - taken)
             taken = jnp.minimum(taken + claim, 1.0)

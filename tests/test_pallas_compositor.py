@@ -61,3 +61,78 @@ def test_train_mode_pallas_is_refused():
     with pytest.raises(ValueError, match="test-mode only"):
         masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
                         test_mode=False, backend="pallas", interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Precision pin (ADVICE r3): TPU matmuls with f32 inputs default to ONE
+# bf16xbf16 MXU pass whose ~8-bit input mantissa rounds resampled
+# sigmoid-init masks (0.500x) to exactly 0.5 — the test-mode `> 0.5`
+# occlusion claim then fires nowhere and f32 serving composites an all-zero
+# image (observed on v5e at image_size=64). The CPU suite computes exact
+# f32, so the only durable guard is structural: every dot in BOTH
+# compositor backends must carry Precision.HIGHEST.
+# ---------------------------------------------------------------------------
+import jax
+
+
+def _subjaxprs(v):
+    if hasattr(v, "jaxpr"):          # ClosedJaxpr
+        yield v.jaxpr
+    elif hasattr(v, "eqns"):         # Jaxpr (e.g. pallas_call kernel body)
+        yield v
+    elif isinstance(v, (list, tuple)):
+        for x in v:
+            yield from _subjaxprs(x)
+
+
+def _dot_precisions(jaxpr):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == "dot_general":
+            yield eqn.params.get("precision")
+        for v in eqn.params.values():
+            for sub in _subjaxprs(v):
+                yield from _dot_precisions(sub)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_all_compositor_dots_pin_highest_precision(backend):
+    vecs, boxes, masks, obj_mask, h, w = _case()
+    kwargs = dict(test_mode=True, backend=backend)
+    if backend == "pallas":
+        kwargs["interpret"] = True
+    jx = jax.make_jaxpr(
+        lambda *a: masks_to_layout(*a, h, w, **kwargs))(
+            vecs, boxes, masks, obj_mask)
+    precisions = list(_dot_precisions(jx.jaxpr))
+    assert precisions, "no dot_general found — tracing changed?"
+    hi = jax.lax.Precision.HIGHEST
+    bad = [p for p in precisions
+           # The final vecs contraction (weights x vecs) is threshold-free
+           # output math; only None (default = one bf16 pass) is forbidden
+           # there too, because layout values feed the generator stem.
+           if p != (hi, hi)]
+    assert not bad, f"dots without HIGHEST precision: {bad}"
+
+
+def test_half_threshold_masks_survive_bf16_pass_emulation():
+    """Mini-repro of the v5e symptom: masks at 0.5 + 2^-12 (which bf16
+    rounds to exactly 0.5) must still claim pixels. Emulating the single
+    bf16 MXU pass by pre-rounding the masks zeroes the composite — the
+    exact path must not."""
+    n, o, d, m, h, w = 1, 2, 4, 8, 32, 32
+    vecs = jnp.ones((n, o, d), jnp.float32)
+    boxes = jnp.tile(jnp.asarray([0.1, 0.1, 0.9, 0.9], jnp.float32),
+                     (n, o, 1))
+    val = np.float32(0.5 + 2.0 ** -12)
+    assert jnp.bfloat16(val) == jnp.bfloat16(0.5)  # premise of the repro
+    masks = jnp.full((n, o, m, m), val, jnp.float32)
+    obj_mask = jnp.ones((n, o), jnp.float32)
+
+    exact = masks_to_layout(vecs, boxes, masks, obj_mask, h, w,
+                            test_mode=True)
+    assert float(jnp.abs(exact).sum()) > 0.0
+
+    rounded = masks.astype(jnp.bfloat16).astype(jnp.float32)
+    zeroed = masks_to_layout(vecs, boxes, rounded, obj_mask, h, w,
+                             test_mode=True)
+    assert float(jnp.abs(zeroed).sum()) == 0.0
