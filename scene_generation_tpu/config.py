@@ -148,7 +148,10 @@ class ModelConfig:
     def jax_compute_dtype(self):
         import jax.numpy as jnp
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                "float16": jnp.float16}[self.compute_dtype]
+                "float16": jnp.float16,
+                # f64 is for CPU parity goldens (tests/test_model_port_
+                # golden.py), not TPU execution.
+                "float64": jnp.float64}[self.compute_dtype]
 
     @property
     def g_mask_dim(self) -> int:
@@ -194,7 +197,10 @@ class DiscriminatorConfig:
     def jax_compute_dtype(self):
         import jax.numpy as jnp
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                "float16": jnp.float16}[self.compute_dtype]
+                "float16": jnp.float16,
+                # f64 is for CPU parity goldens (tests/test_model_port_
+                # golden.py), not TPU execution.
+                "float64": jnp.float64}[self.compute_dtype]
 
 
 @dataclass(frozen=True)

@@ -120,7 +120,9 @@ class MaskedBatchNorm(nn.Module):
         if use_ra:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            # Stats in >= f32 (f64 stays f64 for the CPU parity goldens;
+            # bf16 activations still get f32-accurate statistics).
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             if weights is None:
                 mean = jnp.mean(xf, axis=reduce_axes)
                 var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
