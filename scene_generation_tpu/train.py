@@ -33,7 +33,9 @@ from scene_generation_tpu.trainer.train_state import create_train_state
 def parse_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser()
     # Optimization (args.py:13-16).
-    p.add_argument("--batch_size", type=int, default=12)
+    # None = config default (12 full / 4 tiny); an explicit value wins in
+    # BOTH modes (multi-host tests size the global batch to the mesh).
+    p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--num_iterations", type=int, default=1_000_000)
     p.add_argument("--learning_rate", type=float, default=1e-4)
     p.add_argument("--mask_learning_rate", type=float, default=1e-5)
@@ -133,6 +135,9 @@ def config_from_args(a: argparse.Namespace) -> Config:
                                       torch_deconv=bool(a.torch_deconv)),
             loss=dataclasses.replace(cfg.loss,
                                      box_loss_gated=bool(a.box_loss_gated)))
+        if a.batch_size is not None:
+            cfg = cfg.replace(data=dataclasses.replace(
+                cfg.data, batch_size=a.batch_size))
         return cfg.replace(train=dataclasses.replace(
             cfg.train, num_iterations=a.num_iterations,
             print_every=a.print_every, checkpoint_every=a.checkpoint_every,
@@ -142,7 +147,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
     size = tuple(int(x) for x in a.image_size.split(","))
     return Config(
         data=DataConfig(image_size=size, mask_size=a.mask_size,
-                        batch_size=a.batch_size,
+                        batch_size=12 if a.batch_size is None
+                        else a.batch_size,
                         num_train_samples=a.num_train_samples,
                         num_val_samples=a.num_val_samples,
                         coco_dir=a.coco_dir),
@@ -310,10 +316,12 @@ def main(argv=None):
     epoch = meta["counters"]["epoch"]
 
     probs_fn = None
+    inception_real = False
     if a.eval_inception:
         from scene_generation_tpu.models.inception import (
             create_inception_probs_fn)
         probs_fn, loaded = create_inception_probs_fn()
+        inception_real = bool(loaded)
         if not loaded:
             print("WARNING: no InceptionV3 weights found; IS values are "
                   "relative-only (random-init classifier)")
@@ -497,7 +505,17 @@ def main(argv=None):
                 meta["checkpoint_ts"].append(t)
                 meta.setdefault("val_gt_inception", []).append(tr[1])
                 meta["counters"] = {"t": t, "epoch": epoch}
-                is_best = ckpt.maybe_promote_best(meta, state, va[1])
+                # Best-promotion metric: val-sg inception when REAL
+                # Inception weights are loaded (the reference's rule,
+                # trainer.py:188-197); otherwise val-sg IoU — without
+                # weights the inception score is degenerate noise and
+                # best/ would be a random checkpoint.
+                if inception_real:
+                    is_best = ckpt.maybe_promote_best(
+                        meta, state, va[1], metric="val_inception")
+                else:
+                    is_best = ckpt.maybe_promote_best(
+                        meta, state, va[0], metric="val_sg_iou")
                 ckpt.save(state, best=False)
                 ckpt.save_meta(meta)
                 if writer:

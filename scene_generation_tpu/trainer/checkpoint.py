@@ -153,12 +153,26 @@ class CheckpointManager:
     # checkpoint (latent bug). We implement the evident intent: compare
     # against the PRIOR history, then append.
     def maybe_promote_best(self, meta: Dict[str, Any], state,
-                           val_inception_mean: float) -> bool:
-        history = meta["val_inception"]
+                           score: float,
+                           metric: str = "val_inception") -> bool:
+        """Promote ``state`` to best/ when ``score`` beats the history.
+
+        ``metric`` names the history list in meta. The reference keys on
+        val inception (trainer.py:188-197); without real Inception weights
+        that score is degenerate (documented in models/inception.py), so
+        train.py keys on val-sg IoU instead — measured and meaningful in
+        every environment. Switching metrics mid-run restarts the history
+        (different units are not comparable), recorded via
+        meta['best_metric'].
+        """
+        if meta.get("best_metric") != metric:
+            meta["best_metric"] = metric
+            meta[metric] = []
+        history = meta.setdefault(metric, [])
         is_best = (len(meta["best_t"]) == 0 or not history
-                   or max(history) < val_inception_mean)
+                   or max(history) < score)
         if is_best:
             meta["best_t"].append(meta["counters"]["t"])
             self.save(state, best=True)
-        history.append(val_inception_mean)
+        history.append(score)
         return is_best
