@@ -1,0 +1,129 @@
+"""Fault-injected multi-host checkpoint durability (VERDICT r3 weak #5).
+
+RESULTS §27 fixed three Orbax multi-host holes by review (save-barrier
+deadlock via active_processes={0} on the writer only; save_meta ordered
+after the state commit; global has_checkpoint agreement). These tests give
+those fixes EXECUTABLE proof by killing a process mid-save with SIGKILL
+and requiring (a) the survivor to finish without deadlock and (b) a
+restarted pair to resume from the last durable checkpoint.
+
+Recovery baseline being matched: the reference restarts from its single
+atomic .pt (reference train.py:119-130); here durability must also hold
+when one of N processes dies inside the checkpoint window.
+"""
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mh_crash_worker.py")
+TIMEOUT = 900
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_pair(out_dir, mode):
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(port), out_dir, mode],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+
+
+def _wait(proc, timeout=TIMEOUT):
+    try:
+        out, _ = proc.communicate(timeout=timeout)
+        return proc.returncode, out
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        pytest.fail(f"worker deadlocked (>{timeout}s):\n{out[-4000:]}")
+
+
+def _run_resume_pair(out_dir):
+    procs = _spawn_pair(out_dir, "resume")
+    outs = []
+    try:
+        for p in procs:
+            rc, out = _wait(p)
+            outs.append(out)
+            assert rc == 0, f"resume worker failed:\n{out[-4000:]}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                f = line.split()
+                results[int(f[1])] = (int(f[2]), int(f[3]))
+    assert sorted(results) == [0, 1], f"missing RESULT lines:\n{outs}"
+    assert results[0] == results[1], "resumed counters must agree"
+    return results[0]
+
+
+def test_nonwriter_sigkill_mid_save_does_not_deadlock_writer(tmp_path):
+    """Process 1 (non-writer) is SIGKILLed at the t=4 checkpoint window,
+    concurrent with process 0's actual Orbax write. Process 0 must finish
+    its save + meta and exit cleanly (its save checkpointer is scoped to
+    active_processes={0} — no barrier can wait on the corpse), and a fresh
+    pair must resume from the durable t=4 checkpoint."""
+    out_dir = str(tmp_path / "run")
+    p0, p1 = _spawn_pair(out_dir, "kill_nonwriter")
+    rc1, out1 = _wait(p1)
+    assert rc1 == -signal.SIGKILL, f"p1 was not killed:\n{out1[-2000:]}"
+    rc0, out0 = _wait(p0)
+    assert rc0 == 0 and "RESULT 0 ok" in out0, (
+        f"writer did not survive peer death:\n{out0[-4000:]}")
+
+    meta = json.load(open(os.path.join(out_dir, "checkpoint", "meta.json")))
+    assert meta["counters"]["t"] == 4
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", "last"))
+
+    t, _ = _run_resume_pair(out_dir)
+    assert t == 6
+
+
+def test_writer_sigkill_after_state_commit_before_meta(tmp_path):
+    """Process 0 (the writer) is SIGKILLed in the exact §27 ordering
+    window: the t=4 state has committed to last/ but meta.json still says
+    t=2. The durable direction must be SAFE (weights ahead of counters =>
+    the gap re-trains; counters ahead of weights would silently skip it).
+    The surviving non-writer must exit without deadlock, and a restarted
+    pair resumes from the t=2 meta to completion."""
+    out_dir = str(tmp_path / "run")
+    p0, p1 = _spawn_pair(out_dir, "kill_writer_before_meta")
+    rc0, out0 = _wait(p0)
+    assert rc0 == -signal.SIGKILL, f"p0 was not killed:\n{out0[-2000:]}"
+    # Process 0 hosts the jax.distributed coordination service, so its
+    # death may take the non-writer down with a coordinator-loss error —
+    # that is an acceptable crash-stop. The durability requirement is
+    # only that p1 TERMINATES (no deadlock); _wait fails the test on
+    # timeout.
+    rc1, out1 = _wait(p1)
+    if rc1 != 0:
+        assert "RESULT 1 ok" not in out1  # died, not wedged mid-print
+
+    meta = json.load(open(os.path.join(out_dir, "checkpoint", "meta.json")))
+    assert meta["counters"]["t"] == 2, (
+        "meta advanced past the state commit — the §27 ordering is broken")
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", "last"))
+
+    t, _ = _run_resume_pair(out_dir)
+    assert t == 6
