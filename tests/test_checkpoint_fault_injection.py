@@ -22,7 +22,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "_mh_crash_worker.py")
-TIMEOUT = 900
+TIMEOUT = 1500  # single contended core: ~650s observed per pair
 
 
 def _free_port() -> int:

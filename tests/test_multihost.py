@@ -90,9 +90,9 @@ def _free_port() -> int:
     return port
 
 
-def _spawn_two(script_name, extra_args=()):
-    """Spawn 2 coordinated jax.distributed worker processes; return their
-    combined stdout+stderr texts (asserting both exited 0)."""
+def _spawn_n(script_name, extra_args=(), n=2, timeout=600):
+    """Spawn n coordinated jax.distributed worker processes; return their
+    combined stdout+stderr texts (asserting all exited 0)."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
@@ -102,11 +102,11 @@ def _spawn_two(script_name, extra_args=()):
     procs = [subprocess.Popen(
         [sys.executable, script, str(i), str(port), *extra_args],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
-        for i in range(2)]
+        for i in range(n)]
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
             assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
     finally:
@@ -116,14 +116,18 @@ def _spawn_two(script_name, extra_args=()):
     return outs
 
 
-def _parse_results(outs):
+def _spawn_two(script_name, extra_args=()):
+    return _spawn_n(script_name, extra_args, n=2)
+
+
+def _parse_results(outs, n=2):
     rows = {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("RESULT "):
                 fields = line.split()
                 rows[int(fields[1])] = [float(x) for x in fields[2:]]
-    assert sorted(rows) == [0, 1], f"missing RESULT lines:\n{outs}"
+    assert sorted(rows) == list(range(n)), f"missing RESULT lines:\n{outs}"
     return rows
 
 
@@ -165,7 +169,10 @@ def test_two_process_train_cli(tmp_path):
     agreement + all-process restore barrier). Both processes must report
     identical losses for both legs."""
     out_dir = str(tmp_path / "mh_run")
-    outs = _spawn_two("_mh_train_worker.py", extra_args=(out_dir,))
+    # 1200s: two tiny-config compiles + 2 legs on ONE contended CPU core
+    # run ~8-11 min; 600 flaked under load.
+    outs = _spawn_n("_mh_train_worker.py", extra_args=(out_dir,), n=2,
+                    timeout=1200)
     rows = _parse_results(outs)
     assert rows[0][0] == rows[1][0], "final loss must agree across hosts"
     assert rows[0][1] == rows[1][1], "resumed-leg loss must agree too"
@@ -173,4 +180,27 @@ def test_two_process_train_cli(tmp_path):
     import json
     meta = json.load(open(os.path.join(out_dir, "checkpoint", "meta.json")))
     assert meta["counters"] == {"t": 6, "epoch": 3}
+    assert os.path.exists(os.path.join(out_dir, "checkpoint", "last"))
+
+
+def test_four_process_train_cli(tmp_path):
+    """Process-count generality (VERDICT r3 #8): the 2-process CLI proof is
+    not a special case. 4 processes x 2 devices = one 8-device global
+    mesh at batch 8 (one row per device, 2 per process loader slice),
+    exercising >2-process writer exclusion (3 non-primary managers hold
+    no save checkpointer), 4-way global-batch assembly, the 4-process
+    has_checkpoint allgather, and the all-process Orbax restore barrier
+    on the resume leg. All four processes must agree bit-for-bit on both
+    legs' losses."""
+    out_dir = str(tmp_path / "mh4_run")
+    outs = _spawn_n("_mh_train_worker.py", extra_args=(out_dir, "4", "2"),
+                    n=4, timeout=2400)
+    rows = _parse_results(outs, n=4)
+    first = rows[0]
+    for pid in range(1, 4):
+        assert rows[pid] == first, f"process {pid} diverged: {rows}"
+
+    import json
+    meta = json.load(open(os.path.join(out_dir, "checkpoint", "meta.json")))
+    assert meta["counters"]["t"] == 6
     assert os.path.exists(os.path.join(out_dir, "checkpoint", "last"))
