@@ -225,9 +225,12 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
     from scene_generation_tpu.trainer.step import make_train_step
 
     cfg = Config()
+    # scan_blocks=False: the round-4 training default (train.py
+    # --scan_blocks 0) — unrolled resblocks fuse across block boundaries,
+    # measured 50.2 vs 61.2 ms/step bf16 (+22%; scripts/train_decomp.py).
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype=compute_dtype,
-        factored_stem=factored_stem))
+        factored_stem=factored_stem, scan_blocks=False))
     batch = synthetic_batch(cfg, seed=0)
     t0 = time.perf_counter()
     mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
@@ -243,9 +246,26 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
         lambda c: step(c[0], batch), (state, None),
         lambda c: float(c[1]["total_loss"]), k=k_time, repeats=3)
     n = batch.imgs.shape[0]
+    # Train-MFU from the compiled executable's EXACT FLOP count (XLA cost
+    # analysis; persistent cache makes the extra lower+compile cheap) —
+    # measured, not hand-counted. Reported against bf16 peak regardless of
+    # dtype (f32 matmuls execute as bf16 MXU passes at default precision).
+    mfu = gflops = None
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        fl = float(ca.get("flops", 0.0))
+        if fl > 0:
+            gflops = fl / 1e9
+            mfu = fl / dt / PEAK_BF16_FLOPS
+    except Exception as e:  # pragma: no cover
+        log(f"[train] cost_analysis unavailable: {type(e).__name__}: {e}")
     log(f"[train] -> {dt * 1e3:.1f} ms/step "
-        f"(batch {n}, {n / dt:.1f} img/s)")
-    return dt, n
+        f"(batch {n}, {n / dt:.1f} img/s"
+        + (f", {gflops:.0f} GFLOP/step, MFU {mfu * 100:.1f}%" if mfu
+           else "") + ")")
+    return dt, n, mfu, gflops
 
 
 def main():
@@ -273,15 +293,20 @@ def main():
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"batch-128 bench failed: {type(e).__name__}: {e}")
     try:
-        dt, n = bench_train_step()
+        dt, n, mfu, gflops = bench_train_step()
         extra["train_ms_per_step_b12_f32"] = round(dt * 1e3, 2)
         extra["train_images_per_sec"] = round(n / dt, 2)
+        if mfu:
+            extra["train_mfu_f32"] = round(mfu, 4)
+            extra["train_gflops_per_step"] = round(gflops, 1)
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"train-step bench failed: {type(e).__name__}: {e}")
     try:
-        dt, n = bench_train_step(compute_dtype="bfloat16")
+        dt, n, mfu, _ = bench_train_step(compute_dtype="bfloat16")
         extra["train_ms_per_step_b12_bf16"] = round(dt * 1e3, 2)
         extra["train_images_per_sec_bf16"] = round(n / dt, 2)
+        if mfu:
+            extra["train_mfu_bf16"] = round(mfu, 4)
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"bf16 train-step bench failed: {type(e).__name__}: {e}")
 

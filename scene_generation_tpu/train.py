@@ -76,6 +76,16 @@ def parse_args(argv=None) -> argparse.Namespace:
                    help="terminal box-head nonlinearity; 'relu' is "
                         "reference parity but can dead-ReLU collapse "
                         "(config.py ModelConfig.box_net_final)")
+    p.add_argument("--scan_blocks", type=int, default=0,
+                   help="1 = nn.scan the 9 generator resblocks (compiles "
+                        "the block body once; the safe choice on flaky "
+                        "cold-cache remote compilers). 0 (default) = "
+                        "unrolled: XLA fuses across block boundaries — "
+                        "measured 50.2 vs 61.2 ms/step bf16 at batch 12 "
+                        "(+22%% training throughput, RESULTS train-decomp "
+                        "section) for ~1 extra compile minute per run. "
+                        "Recorded in checkpoint meta, so restores/serving "
+                        "rebuild the matching param tree.")
     p.add_argument("--torch_deconv", type=int, default=0,
                    help="1 = exact torch ConvTranspose2d(3,2,1,op=1) "
                         "upsampling (for reference-weight ports); 0 = "
@@ -132,6 +142,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
                                       compute_dtype=a.compute_dtype,
                                       layout_embed_dim=a.layout_embed_dim,
                                       box_net_final=a.box_net_final,
+                                      scan_blocks=bool(a.scan_blocks),
                                       torch_deconv=bool(a.torch_deconv)),
             loss=dataclasses.replace(cfg.loss,
                                      box_loss_gated=bool(a.box_loss_gated)))
@@ -161,6 +172,7 @@ def config_from_args(a: argparse.Namespace) -> Config:
                           compute_dtype=a.compute_dtype,
                           layout_embed_dim=a.layout_embed_dim,
                           box_net_final=a.box_net_final,
+                          scan_blocks=bool(a.scan_blocks),
                           torch_deconv=bool(a.torch_deconv)),
         loss=LossConfig(
             l1_pixel_loss_weight=a.l1_pixel_loss_weight,
