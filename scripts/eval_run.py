@@ -57,12 +57,24 @@ def main():
                    help="run every model-forward stage on the CPU backend "
                         "(passes --cpu through; for CPU-only boxes or when "
                         "the accelerator is unavailable)")
+    p.add_argument("--seed", type=int, default=0,
+                   help="forwarded to every sampling stage (dataset draw + "
+                        "model noise); vary it to measure the protocol's "
+                        "run-to-run noise band on a fixed checkpoint")
+    p.add_argument("--save_root", default=None,
+                   help="write all stage outputs here instead of into "
+                        "--output_dir (checkpoint is still read from "
+                        "--output_dir); required for multi-seed studies "
+                        "so runs don't collide")
     a = p.parse_args()
 
-    out = a.output_dir
+    ckpt_dir = a.output_dir
+    out = a.save_root or a.output_dir
+    os.makedirs(out, exist_ok=True)
     py = sys.executable
     data_flags = (["--synthetic"] if a.synthetic
                   else ["--coco_dir", a.coco_dir])
+    data_flags += ["--seed", str(a.seed)]
     if a.cpu:
         data_flags = data_flags + ["--cpu"]
     # Val-set stages (sampling/diversity) additionally honor --test_part;
@@ -73,7 +85,7 @@ def main():
     # 1. appearance clusters (encode_features writes k=100/10/1 tables)
     if not all(os.path.exists(os.path.join(
             out, f"features_clustered_{k}.npy")) for k in ("100", "001")):
-        sh([py, "scripts/encode_features.py", "--output_dir", out,
+        sh([py, "scripts/encode_features.py", "--output_dir", ckpt_dir,
             "--checkpoint_name", a.checkpoint_name,
             "--num_samples", str(a.encode_samples), "--batch_size", "8",
             "--save_dir", out] + data_flags)
@@ -96,7 +108,7 @@ def main():
         d = os.path.join(out, f"samples_{name}")
         if os.path.exists(os.path.join(d, "results.json")):
             continue
-        sh([py, "scripts/sample_images.py", "--output_dir", out,
+        sh([py, "scripts/sample_images.py", "--output_dir", ckpt_dir,
             "--checkpoint_name", a.checkpoint_name,
             "--features_path", feats,
             "--num_samples", str(a.num_samples), "--batch_size", "8",
@@ -127,7 +139,7 @@ def main():
     # 4. diversity
     div = os.path.join(out, "diversity.json")
     if not a.skip_diversity and not os.path.exists(div):
-        sh([py, "scripts/compute_diversity.py", "--output_dir", out,
+        sh([py, "scripts/compute_diversity.py", "--output_dir", ckpt_dir,
             "--checkpoint_name", a.checkpoint_name,
             "--features_path", feats100,
             "--num_samples", str(a.diversity_samples),
@@ -137,7 +149,7 @@ def main():
     if a.accuracy_model_path:
         d = os.path.join(out, "samples_acc")
         if not os.path.exists(os.path.join(d, "results.json")):
-            sh([py, "scripts/sample_images.py", "--output_dir", out,
+            sh([py, "scripts/sample_images.py", "--output_dir", ckpt_dir,
                 "--checkpoint_name", a.checkpoint_name,
                 "--features_path", feats,
                 "--num_samples", str(a.num_samples), "--batch_size", "8",
