@@ -93,6 +93,15 @@ def fetch(dest: str) -> int:
         except Exception as e:
             print(f"{name}: FAILED: {e}")
             rc = 1
+    if rc:
+        print("\nSome downloads failed. If this host has no egress (the "
+              "build environment doesn't), run\n"
+              f"  python scripts/fetch_pretrained.py fetch --dest weights/\n"
+              "on a machine with internet access, copy weights/ into "
+              f"{DEFAULT_DEST}\n(or export SGT_VGG19_WEIGHTS / "
+              "SGT_INCEPTION_WEIGHTS / SGT_RESNET_WEIGHTS /\n"
+              "SGT_VGG16_WEIGHTS to the individual files), then run "
+              "`fetch_pretrained.py verify`.")
     return rc
 
 
