@@ -51,7 +51,8 @@ def _sample_masks(boxes: jax.Array, masks: jax.Array, h: int, w: int):
 def masks_to_layout_weights(vecs: jax.Array, boxes: jax.Array,
                             masks: jax.Array, obj_mask: jax.Array,
                             h: int, w: Optional[int] = None,
-                            test_mode: bool = False) -> jax.Array:
+                            test_mode: bool = False,
+                            occlusion_impl: str = "matrix") -> jax.Array:
     """Per-object spatial weights of the layout's rank-O factorization.
 
     The composed layout is ALWAYS a sum of per-object rank-1 terms,
@@ -83,12 +84,42 @@ def masks_to_layout_weights(vecs: jax.Array, boxes: jax.Array,
     mass = jnp.sum(vecs, axis=-1) * jnp.sum(sampled, axis=(-1, -2))  # (N,O)
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     mass = jnp.where(obj_mask.astype(bool), mass, big)
+
+    binm_f = ((sampled > 0.5).astype(dtype)
+              * obj_mask.astype(dtype)[:, :, None, None])           # (N,O,H,W)
+
+    if occlusion_impl == "matrix":
+        # Gather-free formulation: "has any earlier object claimed this
+        # pixel" only needs WHICH objects precede each object, not an
+        # actual sort. precede[n,p,o] = 1 iff p comes before o in the
+        # mass-ascending stable order (ties break on the original index,
+        # matching jnp.argsort's stable sort below), so
+        #   prev_taken[n,o,y,x] = min(1, sum_p precede[n,p,o] binm[n,p,y,x])
+        # is ONE (O,O)x(O,HW) batched matmul — no argsort, no per-image
+        # gathers, no cumsum, no un-permute. Bitwise-identical output
+        # (binm is {0,1} so the sum is an exact small integer; the sort
+        # path's final take(inv) round-trip is an identity permutation of
+        # the same products). Measured: the sort form's gather chain
+        # defeats XLA fusion inside the full serving program (RESULTS §32).
+        o_idx = jnp.arange(mass.shape[1])
+        lt = mass[:, :, None] < mass[:, None, :]                     # p < o
+        tie = ((mass[:, :, None] == mass[:, None, :])
+               & (o_idx[:, None] < o_idx[None, :]))
+        precede = (lt | tie).astype(dtype)                           # (N,P,O)
+        prev_taken = jnp.minimum(
+            jnp.einsum("npo,nphw->nohw", precede, binm_f,
+                       preferred_element_type=dtype,
+                       precision=_PRECISION), 1.0)
+        return sampled * binm_f * (1.0 - prev_taken)
+
+    if occlusion_impl != "sort":
+        raise ValueError(f"unknown occlusion_impl {occlusion_impl!r}")
+
     order = jnp.argsort(mass, axis=-1)                               # (N,O)
 
-    def per_image(sampled_i, order_i, valid_i):
+    def per_image(sampled_i, binm_i, order_i):
         s = jnp.take(sampled_i, order_i, axis=0)     # (O,H,W)
-        vm = jnp.take(valid_i, order_i, axis=0)      # (O,)
-        binm = (s > 0.5).astype(dtype) * vm[:, None, None]
+        binm = jnp.take(binm_i, order_i, axis=0)
         # Exclusive cumulative max: has any earlier object claimed this
         # pixel?
         taken = jnp.cumsum(binm, axis=0)
@@ -98,7 +129,7 @@ def masks_to_layout_weights(vecs: jax.Array, boxes: jax.Array,
         inv = jnp.argsort(order_i)
         return jnp.take(s * claim, inv, axis=0)
 
-    return jax.vmap(per_image)(sampled, order, obj_mask.astype(dtype))
+    return jax.vmap(per_image)(sampled, binm_f, order)
 
 
 def masks_to_layout(vecs: jax.Array, boxes: jax.Array, masks: jax.Array,

@@ -151,3 +151,37 @@ def test_backend_auto_resolution_per_path():
         xla = masks_to_layout(v, b, m, om, 16, 16, test_mode=test_mode,
                               backend="xla")
         np.testing.assert_array_equal(np.asarray(auto), np.asarray(xla))
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_occlusion_matrix_impl_bitwise_matches_sort(dtype):
+    """The gather-free precedence-matrix occlusion (the serving default
+    since round 4 — the argsort/gather/cumsum chain defeated XLA fusion
+    inside the full program, RESULTS.md §32) must be BITWISE equal to the
+    sort formulation, including mass ties (duplicated objects) and
+    invalid slots."""
+    import jax
+    import jax.numpy as jnp
+    from scene_generation_tpu.ops.layout import masks_to_layout_weights
+
+    dt = jnp.dtype(dtype)
+    for trial in range(3):
+        ks = jax.random.split(jax.random.PRNGKey(100 + trial), 5)
+        n, o, m = 4, 9, 16
+        lo = jax.random.uniform(ks[0], (n, o, 2), dt, 0.0, 0.6)
+        sz = jax.random.uniform(ks[1], (n, o, 2), dt, 0.1, 0.4)
+        boxes = jnp.concatenate([lo, lo + sz], -1)
+        masks = jax.random.uniform(ks[2], (n, o, m, m), dt)
+        vecs = jax.random.normal(ks[3], (n, o, 12), dt)
+        obj_mask = (jax.random.uniform(ks[4], (n, o)) > 0.3).astype(
+            jnp.float32)
+        # Force exact mass ties: slot 3 duplicates slot 2 entirely.
+        masks = masks.at[:, 3].set(masks[:, 2])
+        boxes = boxes.at[:, 3].set(boxes[:, 2])
+        vecs = vecs.at[:, 3].set(vecs[:, 2])
+        a = masks_to_layout_weights(vecs, boxes, masks, obj_mask, 64,
+                                    test_mode=True, occlusion_impl="sort")
+        b = masks_to_layout_weights(vecs, boxes, masks, obj_mask, 64,
+                                    test_mode=True, occlusion_impl="matrix")
+        assert a.dtype == b.dtype == dt
+        assert bool(jnp.all(a == b)), f"trial {trial}: impls diverge"
