@@ -12,10 +12,20 @@ whole step stays jitted:
 class (or the object's own vector while its class pool is empty) and inserts
 the current (stop-gradient) vector — reference semantics (utils.py:67-90)
 with one documented divergence: same-class objects within one batch are
-processed in parallel, so their inserts may collide on a slot (the reference
-processes them sequentially). The pool is a training heuristic feeding the
-"wrong texture" negative (model.py:170); this divergence does not affect
-exactness-critical paths.
+processed in parallel where the reference processes them sequentially.
+Precisely:
+
+  * BELOW capacity, a within-batch rank gives each same-class object a
+    distinct append slot — no entries are lost (matches the reference).
+  * AT capacity, each object overwrites its own independently drawn random
+    read slot. Two same-class objects collide (one insert lost, where the
+    sequential reference keeps both) with probability ~k(k-1)/2P per batch
+    for k same-class objects and pool size P (=100); and an object can
+    never read a SAME-BATCH neighbor's fresh insert, which the reference's
+    read-then-replace sequencing allows.
+
+The pool is a training heuristic feeding the "wrong texture" negative
+(model.py:170); this divergence does not affect exactness-critical paths.
 """
 from __future__ import annotations
 
