@@ -241,6 +241,10 @@ class TrainConfig:
     # TPU-specific.
     profile_dir: Optional[str] = None
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = all local devices on 'data'
+    # Adam first-moment storage dtype ("" = f32, reference parity).
+    # "bfloat16" halves mu's HBM traffic in the bandwidth-bound step
+    # (RESULTS §30); nu always stays f32 (see Modules.optimizers).
+    adam_mu_dtype: str = ""
 
 
 @dataclass(frozen=True)

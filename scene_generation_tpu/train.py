@@ -113,6 +113,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--checkpoint_name", type=str, default="checkpoint")
     p.add_argument("--restore_from_checkpoint", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--adam_mu_dtype", choices=["", "bfloat16"], default="",
+                   help="Adam first-moment storage dtype; '' = f32 "
+                        "(reference parity). bfloat16 removes HBM bytes "
+                        "from the bandwidth-bound step (RESULTS §30); nu "
+                        "always stays f32 (TrainConfig.adam_mu_dtype)")
     p.add_argument("--timing", action="store_true")
     # Tracing/profiling (SURVEY.md §5): capture a jax.profiler trace of
     # steps [profile_start, profile_start + profile_steps).
@@ -193,7 +198,8 @@ def config_from_args(a: argparse.Namespace) -> Config:
                           checkpoint_name=a.checkpoint_name,
                           restore_from_checkpoint=bool(
                               a.restore_from_checkpoint),
-                          seed=a.seed))
+                          seed=a.seed,
+                          adam_mu_dtype=a.adam_mu_dtype))
 
 
 def build_datasets(cfg: Config, a: argparse.Namespace):

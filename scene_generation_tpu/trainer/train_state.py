@@ -48,7 +48,16 @@ class Modules:
 
     def optimizers(self) -> Tuple[optax.GradientTransformation, ...]:
         t = self.cfg.train
-        adam = lambda lr: optax.adam(lr, b1=t.beta1, b2=t.beta2)
+        # mu_dtype applies to Adam's FIRST moment only. The second moment
+        # (nu) must stay f32: with b2=0.999 each update adds ~1/1000 of
+        # nu's steady-state value, below bf16's 2^-8 relative precision,
+        # so a bf16 nu silently stops accumulating. mu's b1=0.5 keeps its
+        # increments within bf16 range. Default f32 (reference parity,
+        # trainer.py Adam betas (0.5, 0.999)); bf16 mu is a measured
+        # HBM-byte-removal option (RESULTS §30 roofline: the step is
+        # bandwidth-bound, mu is 765 MB of the generator's state).
+        mu = jnp.dtype(t.adam_mu_dtype) if t.adam_mu_dtype else None
+        adam = lambda lr: optax.adam(lr, b1=t.beta1, b2=t.beta2, mu_dtype=mu)
         return (adam(t.learning_rate), adam(t.learning_rate),
                 adam(t.learning_rate), adam(t.mask_learning_rate))
 

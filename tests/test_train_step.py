@@ -145,3 +145,46 @@ def test_layout_embed_dim_step():
             continue
         assert np.isfinite(float(v)), f"{k} not finite"
     assert m["_layout_one_hot"].shape[-1] == 8
+
+
+def test_adam_mu_dtype_bfloat16():
+    """Opt-in bf16 Adam first moment (TrainConfig.adam_mu_dtype): mu leaves
+    are stored bf16, nu stays f32 (b2=0.999 increments are below bf16's
+    2^-8 relative precision — a bf16 nu would stop accumulating), and a
+    short trajectory stays close to the f32-mu reference. HBM byte-removal
+    option for the bandwidth-bound step (RESULTS §30)."""
+    import dataclasses
+    import optax
+
+    def run(mu_dtype, n_steps=4):
+        cfg = tiny_config()
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, adam_mu_dtype=mu_dtype))
+        batch = synthetic_batch(cfg, seed=3)
+        mods, state = create_train_state(cfg, jax.random.PRNGKey(2), batch,
+                                         load_vgg=False)
+        step = make_train_step(mods, donate=False)
+        for _ in range(n_steps):
+            state, m = step(state, batch)
+        return state, m
+
+    state_bf16, m_bf16 = run("bfloat16")
+    state_f32, m_f32 = run("")
+
+    # Dtype placement: every mu leaf bf16, every nu leaf f32.
+    adam_state = state_bf16.opt_g[0]
+    assert isinstance(adam_state, optax.ScaleByAdamState)
+    for leaf in jax.tree_util.tree_leaves(adam_state.mu):
+        assert leaf.dtype == jnp.bfloat16, leaf.dtype
+    for leaf in jax.tree_util.tree_leaves(adam_state.nu):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+    # Params themselves stay f32 (master weights).
+    for leaf in jax.tree_util.tree_leaves(state_bf16.g_params):
+        assert leaf.dtype == jnp.float32, leaf.dtype
+
+    # Trajectory closeness after a few steps: the bf16 mu rounds the
+    # momentum buffer, not the gradients or params, so losses track.
+    for k in ("total_loss", "bbox_pred"):
+        a, b = float(m_bf16[k]), float(m_f32[k])
+        assert np.isfinite(a) and np.isfinite(b)
+        assert abs(a - b) <= 0.05 * max(1.0, abs(b)), (k, a, b)
