@@ -209,7 +209,8 @@ def bench_inference(batch_size):
     return rate, mfu
 
 
-def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
+def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
+                     adam_mu_dtype=""):
     """Full adversarial step (G + VGG perceptual + 3 D updates), batch 12,
     production config (Pallas train compositor on TPU).
 
@@ -231,6 +232,9 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype=compute_dtype,
         factored_stem=factored_stem, scan_blocks=False))
+    if adam_mu_dtype:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, adam_mu_dtype=adam_mu_dtype))
     batch = synthetic_batch(cfg, seed=0)
     t0 = time.perf_counter()
     mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
@@ -250,7 +254,7 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
     # analysis; persistent cache makes the extra lower+compile cheap) —
     # measured, not hand-counted. Reported against bf16 peak regardless of
     # dtype (f32 matmuls execute as bf16 MXU passes at default precision).
-    mfu = gflops = None
+    mfu = gflops = bytes_gb = None
     try:
         ca = step.lower(state, batch).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -259,13 +263,17 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True):
         if fl > 0:
             gflops = fl / 1e9
             mfu = fl / dt / PEAK_BF16_FLOPS
+        by = float(ca.get("bytes accessed", 0.0))
+        if by > 0:
+            bytes_gb = by / 1e9
     except Exception as e:  # pragma: no cover
         log(f"[train] cost_analysis unavailable: {type(e).__name__}: {e}")
     log(f"[train] -> {dt * 1e3:.1f} ms/step "
         f"(batch {n}, {n / dt:.1f} img/s"
         + (f", {gflops:.0f} GFLOP/step, MFU {mfu * 100:.1f}%" if mfu
-           else "") + ")")
-    return dt, n, mfu, gflops
+           else "")
+        + (f", {bytes_gb:.1f} GB accessed" if bytes_gb else "") + ")")
+    return dt, n, mfu, gflops, bytes_gb
 
 
 def main():
@@ -293,7 +301,7 @@ def main():
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"batch-128 bench failed: {type(e).__name__}: {e}")
     try:
-        dt, n, mfu, gflops = bench_train_step()
+        dt, n, mfu, gflops, _ = bench_train_step()
         extra["train_ms_per_step_b12_f32"] = round(dt * 1e3, 2)
         extra["train_images_per_sec"] = round(n / dt, 2)
         if mfu:
@@ -302,7 +310,7 @@ def main():
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"train-step bench failed: {type(e).__name__}: {e}")
     try:
-        dt, n, mfu, _ = bench_train_step(compute_dtype="bfloat16")
+        dt, n, mfu, _, _ = bench_train_step(compute_dtype="bfloat16")
         extra["train_ms_per_step_b12_bf16"] = round(dt * 1e3, 2)
         extra["train_images_per_sec_bf16"] = round(n / dt, 2)
         if mfu:

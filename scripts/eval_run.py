@@ -19,6 +19,7 @@ Each stage is skipped if its outputs already exist (delete to redo);
 stages run serially so only one TPU job touches the chip at a time.
 """
 import argparse
+import glob
 import json
 import os
 import shutil
@@ -166,9 +167,15 @@ def main():
             sh([py, "scripts/make_grid.py",
                 "--samples_dir", os.path.join(out, f"samples_{name}"),
                 "--out", grid])
-    if a.log and not os.path.exists(os.path.join(out, "curves.png")):
-        sh([py, "scripts/plot_training.py", "--log", a.log,
-            "--out", os.path.join(out, "curves.png")])
+    if not os.path.exists(os.path.join(out, "curves.png")):
+        if a.log and os.path.exists(a.log):
+            sh([py, "scripts/plot_training.py", "--log", a.log,
+                "--out", os.path.join(out, "curves.png")])
+        elif glob.glob(os.path.join(ckpt_dir, "events.out.tfevents*")):
+            # Text log gone (or never kept): the tensorboard event file
+            # train.py writes carries the same series.
+            sh([py, "scripts/plot_training.py", "--events", ckpt_dir,
+                "--out", os.path.join(out, "curves.png")])
 
     # summary
     summary = {}

@@ -7,6 +7,12 @@ CVD-safe ordering; the palette ships pre-validated for light mode).
 
 Usage: python scripts/plot_training.py --log runs/r2_main.log \
            --out runs/r2_main/curves.png
+
+When the text log is gone (runs/r4_repl's was consumed by a pipe), the
+tensorboard event file train.py also writes carries the same series
+(`g_loss/<name>`, `checkpoint/val_gt_iou`, `checkpoint/val_sg_iou`):
+       python scripts/plot_training.py --events runs/r4_repl \
+           --out runs/r4_repl/curves.png
 """
 import argparse
 import re
@@ -40,8 +46,64 @@ def parse_log(path):
             rf"\[{re.escape(name)}\]: ([-\d.]+)", text)]
         series[name] = vals
     ious = re.findall(r"train iou: ([\d.]+)\s+val iou: ([\d.]+)", text)
+    ious = [(float(t), float(v)) for t, v in ious]
     # IoU checkpoints land every checkpoint_every steps, in log order.
-    return steps, series, ious
+    return steps, series, ious, None
+
+
+def parse_events(path):
+    """Text-log-free fallback: read the tensorboardX event file train.py
+    writes alongside checkpoints. TFRecord framing is parsed by hand
+    (uint64 length + crc + payload + crc) so no tensorflow/tensorboard
+    reader is needed; tensorboardX ships the Event proto.
+
+    `path` may be the event file itself or the run dir containing it.
+    """
+    import glob
+    import os
+    import struct
+
+    from tensorboardX.proto import event_pb2
+
+    # train.py logs g_loss/* at index = t // print_every (reference
+    # cadence); recover real steps via the run dir's args.json.
+    print_every = 1
+    if os.path.isdir(path):
+        args_json = os.path.join(path, "args.json")
+        if os.path.exists(args_json):
+            import json
+            print_every = json.load(open(args_json)).get("print_every", 1)
+        cands = sorted(glob.glob(os.path.join(path, "events.out.tfevents*")))
+        if not cands:
+            raise FileNotFoundError(f"no events.out.tfevents* under {path}")
+        path = cands[0]
+    scalars = {}  # tag -> [(step, value)] in write order
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            (ln,) = struct.unpack("<Q", hdr)
+            f.read(4)  # length crc (unchecked; file is local + trusted)
+            payload = f.read(ln)
+            f.read(4)  # payload crc
+            if len(payload) < ln:
+                break  # truncated tail (writer killed mid-record)
+            ev = event_pb2.Event()
+            ev.ParseFromString(payload)
+            for v in ev.summary.value:
+                if v.HasField("simple_value"):
+                    scalars.setdefault(v.tag, []).append(
+                        (ev.step, v.simple_value))
+    loss_steps = [s * print_every
+                  for s, _ in scalars.get("g_loss/total_loss", [])]
+    series = {name: [v for _, v in scalars.get(f"g_loss/{name}", [])]
+              for name, _ in PANELS}
+    gt = scalars.get("checkpoint/val_gt_iou", [])
+    sg = dict(scalars.get("checkpoint/val_sg_iou", []))
+    ious = [(v, sg[s]) for s, v in gt if s in sg]
+    iou_steps = [s for s, v in gt if s in sg]
+    return loss_steps, series, ious, iou_steps
 
 
 def style_axis(ax):
@@ -56,12 +118,20 @@ def style_axis(ax):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--log", required=True)
+    p.add_argument("--log", default=None, help="training text log")
+    p.add_argument("--events", default=None,
+                   help="tensorboard event file or run dir (fallback when "
+                        "the text log is lost)")
     p.add_argument("--out", required=True)
     p.add_argument("--checkpoint_every", type=int, default=2500)
     a = p.parse_args()
+    if not a.log and not a.events:
+        p.error("one of --log / --events is required")
 
-    steps, series, ious = parse_log(a.log)
+    if a.log:
+        steps, series, ious, iou_xs = parse_log(a.log)
+    else:
+        steps, series, ious, iou_xs = parse_events(a.events)
     fig, axes = plt.subplots(2, 4, figsize=(14, 6), facecolor="white")
     axes = axes.ravel()
 
@@ -77,11 +147,12 @@ def main():
     ax = axes[len(PANELS)]
     style_axis(ax)
     if ious:
-        xs = [a.checkpoint_every * (i + 1) for i in range(len(ious))]
-        ax.plot(xs, [float(t) for t, _ in ious], color=SERIES[0],
-                linewidth=2, label="train (GT attrs)")
-        ax.plot(xs, [float(v) for _, v in ious], color=SERIES[1],
-                linewidth=2, label="val (no attrs)")
+        xs = iou_xs or [a.checkpoint_every * (i + 1)
+                        for i in range(len(ious))]
+        ax.plot(xs, [t for t, _ in ious], color=SERIES[0],
+                linewidth=2, label="val-gt (GT attrs)")
+        ax.plot(xs, [v for _, v in ious], color=SERIES[1],
+                linewidth=2, label="val-sg (no attrs)")
         ax.legend(fontsize=8, frameon=False, labelcolor=MUTED)
     ax.set_title("Box IoU at checkpoints", fontsize=9, color=INK,
                  loc="left")

@@ -59,3 +59,42 @@ def test_one_hot_to_rgb_compact_matches_host():
     compact = one_hot_to_rgb_compact(layout)
     # Same palette, same normalization; f32 einsum on either side.
     assert np.abs(host.astype(int) - compact.astype(int)).max() <= 1
+
+
+def test_plot_training_parse_events_round_trip(tmp_path):
+    """plot_training's TB-event fallback (used when the text log is lost,
+    e.g. runs/r4_repl) recovers the loss series at real step numbers
+    (index * print_every from args.json) and the paired IoU checkpoints."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    from tensorboardX import SummaryWriter
+
+    run = tmp_path / "run"
+    run.mkdir()
+    json.dump({"print_every": 100, "checkpoint_every": 200},
+              open(run / "args.json", "w"))
+    w = SummaryWriter(str(run))
+    for i, v in enumerate([5.0, 4.0, 3.0]):
+        w.add_scalar("g_loss/total_loss", v, i)
+    w.add_scalar("checkpoint/val_gt_iou", 0.5, 200)
+    w.add_scalar("checkpoint/val_sg_iou", 0.3, 200)
+    w.add_scalar("checkpoint/val_gt_iou", 0.6, 400)
+    w.add_scalar("checkpoint/val_sg_iou", 0.35, 400)
+    w.close()
+
+    spec = importlib.util.spec_from_file_location(
+        "plot_training", os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "plot_training.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["plot_training"] = mod
+    spec.loader.exec_module(mod)
+
+    steps, series, ious, iou_xs = mod.parse_events(str(run))
+    assert steps == [0, 100, 200]
+    assert series["total_loss"] == [5.0, 4.0, 3.0]
+    # simple_value is an f32 field: compare with f32 tolerance.
+    assert np.allclose(ious, [(0.5, 0.3), (0.6, 0.35)], atol=1e-6)
+    assert iou_xs == [200, 400]
