@@ -210,7 +210,7 @@ def bench_inference(batch_size):
 
 
 def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
-                     adam_mu_dtype=""):
+                     adam_mu_dtype="", batch_size=None):
     """Full adversarial step (G + VGG perceptual + 3 D updates), batch 12,
     production config (Pallas train compositor on TPU).
 
@@ -235,6 +235,9 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
     if adam_mu_dtype:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, adam_mu_dtype=adam_mu_dtype))
+    if batch_size:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, batch_size=batch_size))
     batch = synthetic_batch(cfg, seed=0)
     t0 = time.perf_counter()
     mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
