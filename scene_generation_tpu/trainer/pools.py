@@ -17,12 +17,16 @@ Precisely:
 
   * BELOW capacity, a within-batch rank gives each same-class object a
     distinct append slot — no entries are lost (matches the reference).
-  * AT capacity, each object overwrites its own independently drawn random
-    read slot. Two same-class objects collide (one insert lost, where the
-    sequential reference keeps both) with probability ~k(k-1)/2P per batch
-    for k same-class objects and pool size P (=100); and an object can
-    never read a SAME-BATCH neighbor's fresh insert, which the reference's
-    read-then-replace sequencing allows.
+  * AT capacity, the random slot is drawn as (per-class random base +
+    within-batch rank) mod count, so same-class objects read AND overwrite
+    DISTINCT slots: no insert is ever lost to a colliding write (for k <=
+    count same-class objects; k > pool_size wraps, which the 100-slot pool
+    never sees at MAX_OBJS*batch scales). Each object's read is still
+    uniform over the existing entries; the residual divergence is that
+    same-class reads within one batch are correlated (distinct, base-offset
+    slots rather than independent draws) and an object can never read a
+    SAME-BATCH neighbor's fresh insert, which the reference's sequential
+    read-then-replace allows.
 
 The pool is a training heuristic feeding the "wrong texture" negative
 (model.py:170); this divergence does not affect exactness-critical paths.
@@ -66,22 +70,24 @@ def pool_query(state: VectorPoolState, rng: jax.Array, objs: jax.Array,
     valid = obj_mask.astype(bool)
 
     counts_per_obj = state.counts[objs]                          # (B,)
-    # Random read slot among the existing entries (utils.py:81,85).
-    u = jax.random.uniform(rng, (b,))
-    read_slot = jnp.floor(
-        u * jnp.maximum(counts_per_obj, 1).astype(u.dtype)).astype(jnp.int32)
+    one_hot = jax.nn.one_hot(objs, num_classes, dtype=jnp.int32) \
+        * valid[:, None].astype(jnp.int32)
+    rank = jnp.take_along_axis(jnp.cumsum(one_hot, axis=0) - one_hot,
+                               objs[:, None], axis=1)[:, 0]      # (B,)
+    # Random read slot among the existing entries (utils.py:81,85), drawn
+    # as (per-class base + within-batch rank) mod count: uniform per object,
+    # but DISTINCT across same-class objects so at-capacity overwrites (which
+    # reuse the read slot) never collide.
+    base = jax.random.randint(rng, (num_classes,), 0,
+                              jnp.maximum(state.counts, 1))
+    read_slot = (base[objs] + rank) % jnp.maximum(counts_per_obj, 1)
     read_slot = jnp.clip(read_slot, 0, pool_size - 1)
     stored = state.vecs[objs, read_slot]                         # (B, R)
     empty = counts_per_obj == 0
     wrong = jnp.where(empty[:, None], reprs, stored)
 
-    # Insert slot: append while below capacity (with a within-batch rank so
-    # same-class objects fill distinct slots), else overwrite the read slot
-    # (utils.py:82-88).
-    one_hot = jax.nn.one_hot(objs, num_classes, dtype=jnp.int32) \
-        * valid[:, None].astype(jnp.int32)
-    rank = jnp.take_along_axis(jnp.cumsum(one_hot, axis=0) - one_hot,
-                               objs[:, None], axis=1)[:, 0]      # (B,)
+    # Insert slot: append while below capacity (rank keeps same-class append
+    # slots distinct), else overwrite the read slot (utils.py:82-88).
     append_slot = counts_per_obj + rank
     write_slot = jnp.where(append_slot < pool_size, append_slot, read_slot)
     write_slot = jnp.clip(write_slot, 0, pool_size - 1)

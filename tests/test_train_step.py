@@ -80,6 +80,34 @@ def test_pool_query_semantics():
     assert int(pool3.counts.sum()) == 0
 
 
+def test_pool_at_capacity_no_write_collision():
+    """At capacity, same-class objects in one batch overwrite DISTINCT
+    slots (per-class base + rank draw): every insert lands; no insert is
+    lost to a colliding write (reference utils.py:85-88 keeps each
+    sequential replace)."""
+    P, k = 4, 4
+    pool = create_pool(num_classes=2, pool_size=P, rep_size=1)
+    mask = jnp.ones((k,))
+    objs = jnp.full((k,), 1, jnp.int32)
+    # Fill class 1 to capacity.
+    fill = jnp.arange(k, dtype=jnp.float32).reshape(k, 1)
+    _, pool = pool_query(pool, jax.random.PRNGKey(0), objs, fill, mask)
+    assert int(pool.counts[1]) == P
+    # At capacity: insert k fresh same-class vectors in ONE batch.
+    for key in range(1, 6):
+        fresh = jnp.arange(k, dtype=jnp.float32).reshape(k, 1) + 100 * key
+        wrong, pool = pool_query(pool, jax.random.PRNGKey(key), objs, fresh,
+                                 mask)
+        got = sorted(float(v) for v in np.asarray(pool.vecs[1, :, 0]))
+        want = sorted(float(v) for v in np.asarray(fresh[:, 0]))
+        assert got == want, f"lost inserts at key={key}: {got} vs {want}"
+        # Reads are the PREVIOUS batch's entries, each exactly once
+        # (distinct slots), never the fresh inserts.
+        prev = jnp.arange(k, dtype=jnp.float32) + 100 * (key - 1)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(wrong[:, 0])), np.asarray(prev))
+
+
 def test_determinism():
     cfg = tiny_config()
     batch = synthetic_batch(cfg, seed=5)
