@@ -210,7 +210,7 @@ def bench_inference(batch_size):
 
 
 def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
-                     adam_mu_dtype="", batch_size=None):
+                     adam_mu_dtype="", batch_size=None, donate=False):
     """Full adversarial step (G + VGG perceptual + 3 D updates), batch 12,
     production config (Pallas train compositor on TPU).
 
@@ -242,16 +242,35 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
     t0 = time.perf_counter()
     mods, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
                                      load_vgg=True)
-    step = make_train_step(mods, donate=False)
+    step = make_train_step(mods, donate=donate)
     state, metrics = step(state, batch)
     float(metrics["total_loss"])  # real sync: block_until_ready is a
     #                               no-op under the axon tunnel, so an
     #                               actual readback must drain the queue
     log(f"[train] first step done {time.perf_counter() - t0:.1f}s "
         f"(incl. init+compile)")
-    dt = per_iter_seconds(
-        lambda c: step(c[0], batch), (state, None),
-        lambda c: float(c[1]["total_loss"]), k=k_time, repeats=3)
+    if donate:
+        # Donated state buffers can't be reused across repeats, so thread
+        # ONE evolving state through every timed segment (the production
+        # train.py memory profile: a single live train state).
+        def segment(state, k):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                state, metrics = step(state, batch)
+            float(metrics["total_loss"])
+            return time.perf_counter() - t0, state
+        t1s, tks = [], []
+        for _ in range(3):
+            t, state = segment(state, 1)
+            t1s.append(t)
+            t, state = segment(state, k_time)
+            tks.append(t)
+        import numpy as _np
+        dt = ((_np.median(tks) - _np.median(t1s)) / (k_time - 1))
+    else:
+        dt = per_iter_seconds(
+            lambda c: step(c[0], batch), (state, None),
+            lambda c: float(c[1]["total_loss"]), k=k_time, repeats=3)
     n = batch.imgs.shape[0]
     # Train-MFU from the compiled executable's EXACT FLOP count (XLA cost
     # analysis; persistent cache makes the extra lower+compile cheap) —

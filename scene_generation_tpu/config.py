@@ -241,10 +241,13 @@ class TrainConfig:
     # TPU-specific.
     profile_dir: Optional[str] = None
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = all local devices on 'data'
-    # Adam first-moment storage dtype ("" = f32, reference parity).
-    # "bfloat16" halves mu's HBM traffic in the bandwidth-bound step
-    # (RESULTS §30); nu always stays f32 (see Modules.optimizers).
+    # Adam moment STORAGE dtypes ("" = f32, reference parity). "bfloat16"
+    # mu halves its HBM traffic in the bandwidth-bound step (RESULTS §30).
+    # nu needs finer resolution than bf16 at b2=0.999 (trainer/optim.py:
+    # bf16 nu freezes — executable proof in tests/test_optim.py); f16 nu
+    # accumulates but underflows for sustained |g| < ~2e-4.
     adam_mu_dtype: str = ""
+    adam_nu_dtype: str = ""
 
 
 @dataclass(frozen=True)

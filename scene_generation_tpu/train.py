@@ -135,8 +135,15 @@ def parse_args(argv=None) -> argparse.Namespace:
     p.add_argument("--adam_mu_dtype", choices=["", "bfloat16"], default="",
                    help="Adam first-moment storage dtype; '' = f32 "
                         "(reference parity). bfloat16 removes HBM bytes "
-                        "from the bandwidth-bound step (RESULTS §30); nu "
-                        "always stays f32 (TrainConfig.adam_mu_dtype)")
+                        "from the bandwidth-bound step (RESULTS §30)")
+    p.add_argument("--adam_nu_dtype", choices=["", "float16", "bfloat16"],
+                   default="",
+                   help="Adam second-moment storage dtype; '' = f32 "
+                        "(reference parity). bfloat16 FREEZES nu at "
+                        "b2=0.999 (tests/test_optim.py) — exposed only "
+                        "for the A/B record; float16 accumulates but "
+                        "underflows for sustained |g|<~2e-4 "
+                        "(trainer/optim.py)")
     p.add_argument("--timing", action="store_true")
     # Tracing/profiling (SURVEY.md §5): capture a jax.profiler trace of
     # steps [profile_start, profile_start + profile_steps).

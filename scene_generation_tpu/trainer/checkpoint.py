@@ -10,11 +10,13 @@ Orbax writes are atomic, giving preemption-safe auto-resume (SURVEY.md §5
 """
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import os
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from scene_generation_tpu.config import Config
@@ -61,6 +63,20 @@ class CheckpointManager:
             self._ckptr if not multi
             else ocp.Checkpointer(ocp.PyTreeCheckpointHandler()))
         self._async = use_async
+        # Single-host async saves run on ONE background worker thread: the
+        # device->host fetch (the dominant cost — ~0.5 GB, minutes over a
+        # remote tunnel) plus the Orbax write and the meta.json write all
+        # execute there IN SUBMISSION ORDER, so the §27 crash invariant
+        # (meta lands only after the state commit) holds without the main
+        # thread ever blocking. Multi-host keeps everything synchronous: a
+        # device fetch of globally-sharded state issued off-thread by the
+        # writer alone could deadlock a collective launch.
+        self._exec: Optional[concurrent.futures.ThreadPoolExecutor] = (
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="ckpt")
+            if use_async and not multi and self._primary else None)
+        self._pending: List[concurrent.futures.Future] = []
+        self._snapshot_fn = None
 
     # --- metadata sidecar (args/vocab/history, train.py:132-147) ---
     @property
@@ -76,17 +92,26 @@ class CheckpointManager:
     def save_meta(self, meta: Dict[str, Any]) -> None:
         if not self._primary:
             return
-        # Order AFTER any in-flight async state write: meta.json carries
-        # the resume counters, and landing it before the state commits
-        # would — under a hard kill in the window — leave counters ahead
-        # of the weights (resume would silently skip the gap). The wait
-        # only covers host->disk serialization; the expensive device_get
-        # in save() is synchronous anyway.
-        self.wait()
-        tmp = self.meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self.meta_path)
+        # Serialize NOW (the caller keeps mutating the meta dict between
+        # checkpoints), write LATER: meta.json carries the resume counters,
+        # and landing it before the state commits would — under a hard
+        # kill in the window — leave counters ahead of the weights (resume
+        # would silently skip the gap). On the async path, ordering comes
+        # from the serial executor (this write queues behind the state
+        # commit submitted by save()); synchronously, from wait().
+        payload = json.dumps(meta)
+
+        def _write():
+            tmp = self.meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, self.meta_path)
+
+        if self._exec is not None:
+            self._submit(_write)
+        else:
+            self.wait()
+            _write()
 
     @staticmethod
     def new_meta(cfg: Config, vocab: Dict) -> Dict[str, Any]:
@@ -107,23 +132,93 @@ class CheckpointManager:
         }
 
     # --- state ---
+    def _submit(self, fn) -> None:
+        # Surface any error from an ALREADY-finished background task at
+        # the next enqueue instead of silently training past a broken
+        # checkpoint stream; prune landed futures so the list stays small.
+        done = [f for f in self._pending if f.done()]
+        self._pending = [f for f in self._pending if not f.done()]
+        for f in done:
+            f.result()  # raises if the task failed
+        self._pending.append(self._exec.submit(fn))
+
     def wait(self) -> None:
+        """Drain every queued save/meta task (raising the first failure),
+        then any in-flight Orbax async serialization."""
+        pending, self._pending = self._pending, []
+        for f in pending:
+            f.result()
         if self._async and self._ckptr is not None:
             self._ckptr.wait_until_finished()
 
     def save(self, state, best: bool = False) -> None:
+        """Persist ``state``. Single-host async saves return after ONE
+        on-device snapshot copy (~0 stall): the device->host fetch and the
+        Orbax write run on the serial background worker. The snapshot is
+        dispatched on the device stream BEFORE any later (donating) train
+        step touches the buffers, so the background fetch reads stable
+        memory while training proceeds; it costs one transient state-sized
+        HBM allocation. The task ends with wait_until_finished, so a meta
+        write queued behind it lands strictly after the state commit.
+
+        Multi-host keeps the synchronous fetch: the replicated state may
+        be sharded over a global mesh, and a device fetch issued by the
+        writer alone off-thread could deadlock the collective launch.
+        """
         if not self._primary:
             return
         path = os.path.join(self.root, "best" if best else "last")
-        self.wait()  # serialize with any in-flight save of the same dirs
-        self._ckptr.save(path, jax.device_get(state), force=True)
+        if self._exec is not None:
+            if self._snapshot_fn is None:
+                self._snapshot_fn = jax.jit(
+                    lambda s: jax.tree.map(jnp.copy, s))
+            snap = self._snapshot_fn(state)
+
+            def _fetch_write_commit():
+                self._ckptr.save(path, jax.device_get(snap), force=True)
+                self._ckptr.wait_until_finished()
+
+            self._submit(_fetch_write_commit)
+        else:
+            self.wait()  # serialize with any in-flight save of same dirs
+            self._ckptr.save(path, jax.device_get(state), force=True)
 
     def restore(self, template, best: bool = False):
         self.wait()
         path = os.path.join(self.root, "best" if best else "last")
         if not os.path.exists(path):
             return None
-        return self._restorer.restore(path, item=jax.device_get(template))
+        restored = self._restorer.restore(path, item=jax.device_get(template))
+        return self._align_dtypes(template, restored)
+
+    @staticmethod
+    def _align_dtypes(template, restored):
+        """Cast restored leaves to the template's dtypes, warning once.
+
+        A checkpoint written under a different optimizer precision
+        (--adam_mu_dtype flipped between runs) restores with its SAVED
+        dtypes; silently training on them would change optimizer-state
+        precision mid-run after one extra recompile. The template carries
+        the CONFIGURED precision, so align to it explicitly and say so.
+        """
+        mismatched = []
+
+        def _align(path, t, r):
+            t_dtype = getattr(t, "dtype", None)
+            if t_dtype is None or getattr(r, "dtype", t_dtype) == t_dtype:
+                return r
+            mismatched.append(
+                f"{jax.tree_util.keystr(path)}: {r.dtype}->{t_dtype}")
+            return jnp.asarray(r, t_dtype)
+
+        out = jax.tree_util.tree_map_with_path(_align, template, restored)
+        if mismatched:
+            print(f"[scene_generation_tpu] WARNING: checkpoint dtypes "
+                  f"differ from the configured state on "
+                  f"{len(mismatched)} leaves (e.g. {mismatched[0]}); "
+                  "cast to the configured dtypes (--adam_mu_dtype flip "
+                  "between save and resume is the usual cause)")
+        return out
 
     def has_checkpoint(self) -> bool:
         local = os.path.exists(os.path.join(self.root, "last"))

@@ -22,6 +22,7 @@ from scene_generation_tpu.models.discriminators import (
 from scene_generation_tpu.models.model import SceneModel
 from scene_generation_tpu.models.vgg import Vgg19Features, load_torch_vgg19
 from scene_generation_tpu.ops.images import wire_to_float
+from scene_generation_tpu.trainer.optim import adam_storage
 from scene_generation_tpu.trainer.pools import VectorPoolState, create_pool
 
 
@@ -48,16 +49,21 @@ class Modules:
 
     def optimizers(self) -> Tuple[optax.GradientTransformation, ...]:
         t = self.cfg.train
-        # mu_dtype applies to Adam's FIRST moment only. The second moment
-        # (nu) must stay f32: with b2=0.999 each update adds ~1/1000 of
-        # nu's steady-state value, below bf16's 2^-8 relative precision,
-        # so a bf16 nu silently stops accumulating. mu's b1=0.5 keeps its
-        # increments within bf16 range. Default f32 (reference parity,
-        # trainer.py Adam betas (0.5, 0.999)); bf16 mu is a measured
-        # HBM-byte-removal option (RESULTS §30 roofline: the step is
-        # bandwidth-bound, mu is 765 MB of the generator's state).
+        # Moment STORAGE dtypes (math stays f32). Defaults are f32
+        # (reference parity, trainer.py Adam betas (0.5, 0.999)); bf16 mu
+        # is a measured HBM-byte-removal lever (RESULTS §30 roofline: the
+        # step is bandwidth-bound). nu precision constraints are derived
+        # and proven in trainer/optim.py + tests/test_optim.py (bf16 nu
+        # FREEZES at b2=0.999; f16 accumulates but can underflow).
         mu = jnp.dtype(t.adam_mu_dtype) if t.adam_mu_dtype else None
-        adam = lambda lr: optax.adam(lr, b1=t.beta1, b2=t.beta2, mu_dtype=mu)
+        nu = jnp.dtype(t.adam_nu_dtype) if t.adam_nu_dtype else None
+        if nu is None:
+            # optax.adam: bit-identical here and maximally legible.
+            adam = lambda lr: optax.adam(lr, b1=t.beta1, b2=t.beta2,
+                                         mu_dtype=mu)
+        else:
+            adam = lambda lr: adam_storage(lr, b1=t.beta1, b2=t.beta2,
+                                           mu_dtype=mu, nu_dtype=nu)
         return (adam(t.learning_rate), adam(t.learning_rate),
                 adam(t.learning_rate), adam(t.mask_learning_rate))
 

@@ -97,6 +97,13 @@ def main():
             lambda b, mk, n: LO._sample_masks(b, mk + n, h, w),
             (boxes, masks), bs)
 
+        # NOTE: this inlines ops/layout.py's SORT-path occlusion epilogue
+        # (argsort by painter's mass -> cumsum claim -> unsort) so it can
+        # be timed on a pre-sampled field with added noise; it must mirror
+        # layout.py's sort branch — if that branch changes, update this or
+        # the microbench measures stale code. The serving default is the
+        # precedence-MATRIX form (occlusion_impl="matrix"); this segment
+        # exists to attribute the sort-path cost it replaced (RESULTS §32).
         def occl_post(s, v, om, n):
             s = s + n
             mass = jnp.sum(v, axis=-1) * jnp.sum(s, axis=(-1, -2))

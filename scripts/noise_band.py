@@ -60,19 +60,25 @@ def main():
         seeds.append(d)
         for name, jpath in METRICS.items():
             v = dig(s, jpath)
-            if v is not None:
-                rows.setdefault(name, []).append(float(v))
+            # Keep per-dir alignment even when a metric is missing from
+            # some dirs: store dir->value so the JSON says which seed
+            # produced which number (None = absent).
+            rows.setdefault(name, {})[d] = (
+                float(v) if v is not None else None)
 
     print(f"| metric | mean | std | min | max | n |")
     print(f"|---|---|---|---|---|---|")
     agg = {}
-    for name, vals in rows.items():
+    for name, by_dir in rows.items():
+        vals = [v for v in by_dir.values() if v is not None]
+        if not vals:
+            continue
         n = len(vals)
         mean = sum(vals) / n
         std = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1)) \
             if n > 1 else 0.0
         agg[name] = {"mean": mean, "std": std, "min": min(vals),
-                     "max": max(vals), "n": n, "values": vals}
+                     "max": max(vals), "n": n, "values": by_dir}
         print(f"| {name} | {mean:.4f} | {std:.4f} | {min(vals):.4f} "
               f"| {max(vals):.4f} | {n} |")
 

@@ -73,28 +73,38 @@ def parse_events(path):
         if os.path.exists(args_json):
             import json
             print_every = json.load(open(args_json)).get("print_every", 1)
+        else:
+            print(f"WARNING: {args_json} missing; assuming print_every=1 — "
+                  "the loss x-axis is wrong by the real print_every factor "
+                  "if the run used a larger value")
         cands = sorted(glob.glob(os.path.join(path, "events.out.tfevents*")))
         if not cands:
             raise FileNotFoundError(f"no events.out.tfevents* under {path}")
-        path = cands[0]
-    scalars = {}  # tag -> [(step, value)] in write order
-    with open(path, "rb") as f:
-        while True:
-            hdr = f.read(8)
-            if len(hdr) < 8:
-                break
-            (ln,) = struct.unpack("<Q", hdr)
-            f.read(4)  # length crc (unchecked; file is local + trusted)
-            payload = f.read(ln)
-            f.read(4)  # payload crc
-            if len(payload) < ln:
-                break  # truncated tail (writer killed mid-record)
-            ev = event_pb2.Event()
-            ev.ParseFromString(payload)
-            for v in ev.summary.value:
-                if v.HasField("simple_value"):
-                    scalars.setdefault(v.tag, []).append(
-                        (ev.step, v.simple_value))
+    else:
+        cands = [path]
+    # A resumed run writes a NEW event file; merge all of them by
+    # (tag, step), last write wins (dedupes the pre-restart overlap the
+    # resumed leg re-emits).
+    merged = {}  # tag -> {step: value}
+    for fname in cands:
+        with open(fname, "rb") as f:
+            while True:
+                hdr = f.read(8)
+                if len(hdr) < 8:
+                    break
+                (ln,) = struct.unpack("<Q", hdr)
+                f.read(4)  # length crc (unchecked; file is local + trusted)
+                payload = f.read(ln)
+                f.read(4)  # payload crc
+                if len(payload) < ln:
+                    break  # truncated tail (writer killed mid-record)
+                ev = event_pb2.Event()
+                ev.ParseFromString(payload)
+                for v in ev.summary.value:
+                    if v.HasField("simple_value"):
+                        merged.setdefault(v.tag, {})[ev.step] = v.simple_value
+    scalars = {tag: sorted(by_step.items())
+               for tag, by_step in merged.items()}
     loss_steps = [s * print_every
                   for s, _ in scalars.get("g_loss/total_loss", [])]
     series = {name: [v for _, v in scalars.get(f"g_loss/{name}", [])]
