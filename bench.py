@@ -210,7 +210,8 @@ def bench_inference(batch_size):
 
 
 def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
-                     adam_mu_dtype="", batch_size=None, donate=False):
+                     adam_mu_dtype="", batch_size=None, donate=False,
+                     adam_nu_dtype="", grads_dtype=""):
     """Full adversarial step (G + VGG perceptual + 3 D updates), batch 12,
     production config (Pallas train compositor on TPU).
 
@@ -232,9 +233,10 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype=compute_dtype,
         factored_stem=factored_stem, scan_blocks=False))
-    if adam_mu_dtype:
+    if adam_mu_dtype or adam_nu_dtype or grads_dtype:
         cfg = cfg.replace(train=dataclasses.replace(
-            cfg.train, adam_mu_dtype=adam_mu_dtype))
+            cfg.train, adam_mu_dtype=adam_mu_dtype,
+            adam_nu_dtype=adam_nu_dtype, grads_dtype=grads_dtype))
     if batch_size:
         cfg = cfg.replace(data=dataclasses.replace(
             cfg.data, batch_size=batch_size))
@@ -323,6 +325,14 @@ def main():
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"batch-128 bench failed: {type(e).__name__}: {e}")
     try:
+        # Past-b128 curve (VERDICT r4 #8): the best point moved right
+        # three times (b16 -> b64 -> b128); publish where it peaks.
+        rate192, mfu192 = bench_inference(192)
+        extra["inference_images_per_sec_b192"] = round(rate192, 2)
+        extra["inference_mfu_generator_b192"] = round(mfu192, 4)
+    except Exception as e:  # pragma: no cover - degraded mode
+        log(f"batch-192 bench failed: {type(e).__name__}: {e}")
+    try:
         dt, n, mfu, gflops, _ = bench_train_step()
         extra["train_ms_per_step_b12_f32"] = round(dt * 1e3, 2)
         extra["train_images_per_sec"] = round(n / dt, 2)
@@ -339,6 +349,18 @@ def main():
             extra["train_mfu_bf16"] = round(mfu, 4)
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"bf16 train-step bench failed: {type(e).__name__}: {e}")
+    try:
+        # Scaled training point (RESULTS §36/§39): batch 24, donated
+        # state (production memory profile), bf16 — the validated
+        # high-throughput configuration (runs/r5_b24).
+        dt, n, mfu, _, _ = bench_train_step(
+            compute_dtype="bfloat16", batch_size=24, donate=True)
+        extra["train_ms_per_step_b24_bf16"] = round(dt * 1e3, 2)
+        extra["train_images_per_sec_b24_bf16"] = round(n / dt, 2)
+        if mfu:
+            extra["train_mfu_b24_bf16"] = round(mfu, 4)
+    except Exception as e:  # pragma: no cover - degraded mode
+        log(f"b24 train-step bench failed: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "inference_images_per_sec_128px",

@@ -248,6 +248,12 @@ class TrainConfig:
     # accumulates but underflows for sustained |g| < ~2e-4.
     adam_mu_dtype: str = ""
     adam_nu_dtype: str = ""
+    # Gradient-tree storage dtype at the backward->optimizer boundary
+    # ("" = f32, reference parity). "bfloat16" halves any HBM
+    # materialization of the grad trees between backward and the Adam
+    # update; measured A/B in RESULTS §37 (trainer/step.py casts, the
+    # moment math promotes back to f32).
+    grads_dtype: str = ""
 
 
 @dataclass(frozen=True)

@@ -144,6 +144,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "for the A/B record; float16 accumulates but "
                         "underflows for sustained |g|<~2e-4 "
                         "(trainer/optim.py)")
+    p.add_argument("--grads_dtype", choices=["", "bfloat16"], default="",
+                   help="gradient-tree storage dtype at the backward->"
+                        "optimizer boundary; '' = f32 (reference parity). "
+                        "bfloat16 halves grad-tree HBM materialization "
+                        "(A/B in RESULTS §37); moment math stays f32")
     p.add_argument("--timing", action="store_true")
     # Tracing/profiling (SURVEY.md §5): capture a jax.profiler trace of
     # steps [profile_start, profile_start + profile_steps).
@@ -231,7 +236,9 @@ def config_from_args(a: argparse.Namespace) -> Config:
                           restore_from_checkpoint=bool(
                               a.restore_from_checkpoint),
                           seed=a.seed,
-                          adam_mu_dtype=a.adam_mu_dtype))
+                          adam_mu_dtype=a.adam_mu_dtype,
+                          adam_nu_dtype=a.adam_nu_dtype,
+                          grads_dtype=a.grads_dtype))
 
 
 def build_datasets(cfg: Config, a: argparse.Namespace):

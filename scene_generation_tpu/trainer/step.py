@@ -145,8 +145,18 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
         aux = (out, g_mut["batch_stats"], d_obj_mut["batch_stats"], terms)
         return total, aux
 
+    # Optional grad-tree cast at the backward->optimizer boundary: a bf16
+    # grad tree halves any HBM materialization between backward and Adam
+    # (the moment math promotes back to f32 — optax semantics). Opt-in
+    # byte-removal lever, A/B'd in RESULTS §37; "" = f32 reference parity.
+    _gd = (jnp.dtype(cfg.train.grads_dtype)
+           if cfg.train.grads_dtype else None)
+    cast_grads = ((lambda g: jax.tree.map(lambda x: x.astype(_gd), g))
+                  if _gd is not None else (lambda g: g))
+
     (g_total, (out, g_stats, d_obj_stats, g_terms)), g_grads = \
         jax.value_and_grad(g_loss_fn, has_aux=True)(state.g_params)
+    g_grads = cast_grads(g_grads)
     opt_g, _, _, _ = mods.optimizers()
     g_updates, opt_g_state = opt_g.update(g_grads, state.opt_g, state.g_params)
     g_params = optax.apply_updates(state.g_params, g_updates)
@@ -191,6 +201,7 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
 
     (_, d_mask_terms), d_mask_grads = jax.value_and_grad(
         d_mask_loss_fn, has_aux=True)(state.d_mask_params)
+    d_mask_grads = cast_grads(d_mask_grads)
     _, _, _, opt_d_mask = mods.optimizers()
     dm_updates, opt_d_mask_state = opt_d_mask.update(
         d_mask_grads, state.opt_d_mask, state.d_mask_params)
@@ -218,6 +229,7 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
 
     (_, (d_obj_terms, d_obj_stats)), d_obj_grads = jax.value_and_grad(
         d_obj_loss_fn, has_aux=True)(state.d_obj_params)
+    d_obj_grads = cast_grads(d_obj_grads)
     _, _, opt_d_obj, _ = mods.optimizers()
     do_updates, opt_d_obj_state = opt_d_obj.update(
         d_obj_grads, state.opt_d_obj, state.d_obj_params)
@@ -250,6 +262,7 @@ def _train_step(mods: Modules, state: TrainState, batch: Batch
 
     (_, d_img_terms), d_img_grads = jax.value_and_grad(
         d_img_loss_fn, has_aux=True)(state.d_img_params)
+    d_img_grads = cast_grads(d_img_grads)
     _, opt_d_img, _, _ = mods.optimizers()
     di_updates, opt_d_img_state = opt_d_img.update(
         d_img_grads, state.opt_d_img, state.d_img_params)

@@ -43,7 +43,7 @@ def main():
     t0 = time.perf_counter()
     _, state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
                                   load_vgg=False)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready(state.g_params)
     nbytes = sum(x.nbytes for x in jax.tree.leaves(state)
                  if hasattr(x, "nbytes"))
     bench.log(f"state built in {time.perf_counter() - t0:.1f}s, "

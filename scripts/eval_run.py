@@ -46,7 +46,12 @@ def main():
     p.add_argument("--test_part", type=int, default=1,
                    help="passed through to sampling/diversity (0 for "
                         "small fixture datasets)")
-    p.add_argument("--num_samples", type=int, default=60)
+    # 512 (was 60): §33 measured the 56-image random-CNN relative FID at
+    # σ/mean ≈ 23-26% — too blind to resolve anything under ~50%. The
+    # generator runs 2000+ img/s, so a 512-image FID costs seconds of
+    # device time and tightens the band ~3x (√(512/56) on the sampling
+    # term alone); re-measured in RESULTS §40.
+    p.add_argument("--num_samples", type=int, default=512)
     p.add_argument("--encode_samples", type=int, default=512)
     p.add_argument("--diversity_samples", type=int, default=32)
     p.add_argument("--skip_diversity", action="store_true")

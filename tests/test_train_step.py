@@ -216,3 +216,51 @@ def test_adam_mu_dtype_bfloat16():
         a, b = float(m_bf16[k]), float(m_f32[k])
         assert np.isfinite(a) and np.isfinite(b)
         assert abs(a - b) <= 0.05 * max(1.0, abs(b)), (k, a, b)
+
+
+def test_grads_dtype_and_nu_dtype_levers():
+    """Opt-in byte-removal levers (RESULTS §37): grads_dtype=bfloat16 casts
+    every grad tree at the backward->optimizer boundary (params and both
+    moments keep their configured dtypes; trajectory stays close), and
+    adam_nu_dtype=float16 stores nu in f16 via the custom transform
+    (trainer/optim.py). Reference parity: both default off (torch Adam is
+    all-f32, reference trainer.py:60)."""
+    import dataclasses
+    import optax
+
+    def run(n_steps=4, **train_kw):
+        cfg = tiny_config()
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, **train_kw))
+        batch = synthetic_batch(cfg, seed=3)
+        mods, state = create_train_state(cfg, jax.random.PRNGKey(2), batch,
+                                         load_vgg=False)
+        step = make_train_step(mods, donate=False)
+        for _ in range(n_steps):
+            state, m = step(state, batch)
+        return state, m
+
+    state_ref, m_ref = run()
+    state_g, m_g = run(grads_dtype="bfloat16")
+    state_nu, _ = run(adam_nu_dtype="float16")
+
+    # grads cast is a boundary-only change: params + moments stay f32...
+    adam_g = state_g.opt_g[0]
+    assert isinstance(adam_g, optax.ScaleByAdamState)
+    for tree in (state_g.g_params, adam_g.mu, adam_g.nu):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            assert leaf.dtype == jnp.float32, leaf.dtype
+    # ...and the short trajectory tracks the f32-grads reference.
+    for k in ("total_loss", "bbox_pred"):
+        a, b = float(m_g[k]), float(m_ref[k])
+        assert np.isfinite(a) and np.isfinite(b)
+        assert abs(a - b) <= 0.05 * max(1.0, abs(b)), (k, a, b)
+
+    # nu_dtype places every nu leaf f16 across all four optimizers,
+    # mu stays f32.
+    for opt_state in (state_nu.opt_g, state_nu.opt_d_img,
+                      state_nu.opt_d_obj, state_nu.opt_d_mask):
+        adam = opt_state[0]
+        for leaf in jax.tree_util.tree_leaves(adam.nu):
+            assert leaf.dtype == jnp.float16, leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(adam.mu):
+            assert leaf.dtype == jnp.float32, leaf.dtype
