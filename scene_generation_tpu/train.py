@@ -34,12 +34,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     # --preset rewires flag DEFAULTS only (two-stage parse): any flag given
     # explicitly on the command line still wins.
     pre = argparse.ArgumentParser(add_help=False)
-    pre.add_argument("--preset", choices=["parity", "quality"],
+    pre.add_argument("--preset", choices=["parity", "quality", "throughput"],
                      default="parity")
     preset = pre.parse_known_args(argv)[0].preset
 
     p = argparse.ArgumentParser()
-    p.add_argument("--preset", choices=["parity", "quality"],
+    p.add_argument("--preset", choices=["parity", "quality", "throughput"],
                    default="parity",
                    help="'parity' (default): the reference's exact flag "
                         "defaults, including its documented quality "
@@ -50,6 +50,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "configuration every quality claim in RESULTS.md "
                         "rests on: box_net_final=none, box_loss_gated=0, "
                         "compute_dtype=bfloat16, synthetic_size=4096. "
+                        "'throughput': quality + the runs/r5_b24 scaled "
+                        "training point (batch 24, lr sqrt-scaled, bf16 "
+                        "Adam mu — RESULTS §36/§39). "
                         "Explicit flags override the preset.")
     # Optimization (args.py:13-16).
     # None = config default (12 full / 4 tiny); an explicit value wins in
@@ -167,12 +170,20 @@ def parse_args(argv=None) -> argparse.Namespace:
     # Force the CPU backend (same escape hatch as the eval scripts): for
     # smoke runs / CI boxes and when the remote-TPU relay is unavailable.
     p.add_argument("--cpu", action="store_true")
-    if preset == "quality":
+    if preset in ("quality", "throughput"):
         # The exact quality-relevant settings of runs/r3_final + r4_repl
         # (RESULTS §25/§34); scan_blocks stays at the round-4 unrolled
         # default (perf-only, +22% train throughput, meta-recorded).
         p.set_defaults(box_net_final="none", box_loss_gated=0,
                        compute_dtype="bfloat16", synthetic_size=4096)
+    if preset == "throughput":
+        # The validated high-throughput configuration of runs/r5_b24
+        # (RESULTS §36/§39): batch 24 (amortizes the per-step-constant
+        # param/grad/moment HBM streams, +24% img/s over b12), lr
+        # sqrt-scaled by 2x, bf16 Adam first moment (−1.23 GB/step, §35).
+        p.set_defaults(batch_size=24, learning_rate=1.41e-4,
+                       mask_learning_rate=1.41e-5,
+                       adam_mu_dtype="bfloat16")
     return p.parse_args(argv)
 
 

@@ -64,3 +64,30 @@ def test_parity_preset_is_reference_defaults():
     assert a.box_loss_gated == 1
     assert a.compute_dtype == "float32"
     assert a.synthetic_size == 512
+
+
+R5_B24_ARGS = os.path.join(os.path.dirname(__file__), "..",
+                           "runs", "r5_b24", "args.json")
+
+
+def test_throughput_preset_matches_r5_b24_config():
+    """--preset throughput must reproduce the validated runs/r5_b24
+    configuration (RESULTS §39): quality + batch 24 + sqrt-scaled lr +
+    bf16 Adam mu."""
+    with open(R5_B24_ARGS) as f:
+        recorded = json.load(f)
+    a = parse_args(["--preset", "throughput", "--synthetic"])
+    for k in ("batch_size", "learning_rate", "mask_learning_rate",
+              "adam_mu_dtype", "box_net_final", "box_loss_gated",
+              "compute_dtype", "synthetic_size"):
+        assert getattr(a, k) == recorded[k], k
+    # run sizing (iterations, val subset, logging cadence) is not part of
+    # the preset; everything quality-relevant above is.
+
+
+def test_throughput_preset_explicit_override():
+    a = parse_args(["--preset", "throughput", "--synthetic",
+                    "--batch_size", "48", "--adam_mu_dtype", ""])
+    assert a.batch_size == 48
+    assert a.adam_mu_dtype == ""
+    assert a.learning_rate == 1.41e-4  # untouched preset default applies
