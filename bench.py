@@ -333,6 +333,14 @@ def main():
     except Exception as e:  # pragma: no cover - degraded mode
         log(f"batch-192 bench failed: {type(e).__name__}: {e}")
     try:
+        # b256: brackets the serving peak from above; an OOM here is
+        # recorded as the capacity limit, not an error (VERDICT r4 #8).
+        rate256, mfu256 = bench_inference(256)
+        extra["inference_images_per_sec_b256"] = round(rate256, 2)
+        extra["inference_mfu_generator_b256"] = round(mfu256, 4)
+    except Exception as e:  # pragma: no cover - degraded mode
+        log(f"batch-256 bench failed: {type(e).__name__}: {e}")
+    try:
         dt, n, mfu, gflops, _ = bench_train_step()
         extra["train_ms_per_step_b12_f32"] = round(dt * 1e3, 2)
         extra["train_images_per_sec"] = round(n / dt, 2)

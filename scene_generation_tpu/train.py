@@ -49,7 +49,9 @@ def parse_args(argv=None) -> argparse.Namespace:
                         "'quality': the validated r3_final/r4_repl "
                         "configuration every quality claim in RESULTS.md "
                         "rests on: box_net_final=none, box_loss_gated=0, "
-                        "compute_dtype=bfloat16, synthetic_size=4096. "
+                        "compute_dtype=bfloat16, synthetic_size=4096, "
+                        "plus bf16 Adam mu (validated by the r5_b24 run, "
+                        "RESULTS §39). "
                         "'throughput': quality + the runs/r5_b24 scaled "
                         "training point (batch 24, lr sqrt-scaled, bf16 "
                         "Adam mu — RESULTS §36/§39). "
@@ -174,16 +176,21 @@ def parse_args(argv=None) -> argparse.Namespace:
         # The exact quality-relevant settings of runs/r3_final + r4_repl
         # (RESULTS §25/§34); scan_blocks stays at the round-4 unrolled
         # default (perf-only, +22% train throughput, meta-recorded).
+        # adam_mu_dtype=bfloat16 was promoted into the production presets
+        # after the runs/r5_b24 15k-step quality run passed with it ON
+        # (RESULTS §39; bandwidth-exact −2.8% ms/step, §35). Parity keeps
+        # f32 moments (reference trainer.py:60,80,106,133); opt out with
+        # --adam_mu_dtype "".
         p.set_defaults(box_net_final="none", box_loss_gated=0,
-                       compute_dtype="bfloat16", synthetic_size=4096)
+                       compute_dtype="bfloat16", synthetic_size=4096,
+                       adam_mu_dtype="bfloat16")
     if preset == "throughput":
         # The validated high-throughput configuration of runs/r5_b24
         # (RESULTS §36/§39): batch 24 (amortizes the per-step-constant
         # param/grad/moment HBM streams, +24% img/s over b12), lr
-        # sqrt-scaled by 2x, bf16 Adam first moment (−1.23 GB/step, §35).
+        # sqrt-scaled by 2x.
         p.set_defaults(batch_size=24, learning_rate=1.41e-4,
-                       mask_learning_rate=1.41e-5,
-                       adam_mu_dtype="bfloat16")
+                       mask_learning_rate=1.41e-5)
     return p.parse_args(argv)
 
 
@@ -204,10 +211,15 @@ def config_from_args(a: argparse.Namespace) -> Config:
                 cfg.data, batch_size=a.batch_size))
         return cfg.replace(train=dataclasses.replace(
             cfg.train, num_iterations=a.num_iterations,
+            learning_rate=a.learning_rate,
+            mask_learning_rate=a.mask_learning_rate,
             print_every=a.print_every, checkpoint_every=a.checkpoint_every,
             output_dir=a.output_dir, checkpoint_name=a.checkpoint_name,
             restore_from_checkpoint=bool(a.restore_from_checkpoint),
-            seed=a.seed))
+            seed=a.seed,
+            adam_mu_dtype=a.adam_mu_dtype,
+            adam_nu_dtype=a.adam_nu_dtype,
+            grads_dtype=a.grads_dtype))
     size = tuple(int(x) for x in a.image_size.split(","))
     return Config(
         data=DataConfig(image_size=size, mask_size=a.mask_size,

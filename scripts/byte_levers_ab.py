@@ -25,6 +25,9 @@ import json
 import sys
 
 sys.path.insert(0, ".")
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 import bench  # noqa: E402
 
 

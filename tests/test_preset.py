@@ -48,6 +48,11 @@ def test_quality_preset_matches_r4_repl_config():
     assert preset.box_net_final == "none"
     assert preset.box_loss_gated == 0
     assert preset.compute_dtype == "bfloat16"
+    # Second intended difference vs r4_repl (which ran f32 moments):
+    # bf16 Adam mu, promoted after the r5_b24 quality run passed with it
+    # ON (RESULTS §39) — storage-only, bandwidth-exact (§35).
+    assert preset.adam_mu_dtype == "bfloat16"
+    assert repl.adam_mu_dtype in ("", "float32")
 
 
 def test_explicit_flag_overrides_preset():
@@ -83,6 +88,18 @@ def test_throughput_preset_matches_r5_b24_config():
         assert getattr(a, k) == recorded[k], k
     # run sizing (iterations, val subset, logging cadence) is not part of
     # the preset; everything quality-relevant above is.
+
+
+def test_tiny_path_propagates_optimizer_flags():
+    """--tiny used to drop the optimizer-dtype and lr flags on the floor
+    (caught by an end-to-end preset smoke: args.json said bfloat16 mu,
+    the live train state was f32)."""
+    a = parse_args(["--preset", "quality", "--synthetic", "--tiny",
+                    "--learning_rate", "3e-4", "--grads_dtype", "bfloat16"])
+    cfg = config_from_args(a)
+    assert cfg.train.adam_mu_dtype == "bfloat16"
+    assert cfg.train.grads_dtype == "bfloat16"
+    assert cfg.train.learning_rate == 3e-4
 
 
 def test_throughput_preset_explicit_override():
