@@ -40,9 +40,24 @@ SHAPES = [
 ]
 
 
+# The real generator upsamples with TRANSPOSE convs (stride-2, k=3); the
+# "up-equiv" rows above time arithmetic-equivalent stride-1 convs, which
+# the first sweep showed do NOT dip at b96 — so --transpose times the
+# actual lhs-dilated form XLA lowers ConvTranspose to. (tag, Hin, Win,
+# Cin, Cout): input is the PRE-upsample grid.
+TRANSPOSE_SHAPES = [
+    ("convT 1024->512 @8->16", 8, 8, 1024, 512),
+    ("convT 512->256 @16->32", 16, 16, 512, 256),
+    ("convT 256->128 @32->64", 32, 32, 256, 128),
+    ("convT 128->64 @64->128", 64, 64, 128, 64),
+]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, nargs="+", default=[64, 96, 128])
+    ap.add_argument("--transpose", action="store_true",
+                    help="time the real stride-2 transpose convs instead")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -52,15 +67,29 @@ def main():
     from bench import per_iter_seconds, log
 
     rows = []
-    for tag, h, w, cin, cout, k, s in SHAPES:
+    if args.transpose:
+        shapes = [(tag, h, w, cin, cout, 3, 2)
+                  for tag, h, w, cin, cout in TRANSPOSE_SHAPES]
+    else:
+        shapes = SHAPES
+    for tag, h, w, cin, cout, k, s in shapes:
         kern = jax.random.normal(
             jax.random.PRNGKey(1), (k, k, cin, cout), jnp.bfloat16) * 0.05
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def conv(x, kern, stride):
-            return jax.lax.conv_general_dilated(
-                x, kern, (stride, stride), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if args.transpose:
+            # Exactly what flax nn.ConvTranspose(padding='SAME') lowers to
+            # (generators.py:296): lax.conv_transpose, unflipped kernel.
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def conv(x, kern, stride):
+                return jax.lax.conv_transpose(
+                    x, kern, (stride, stride), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def conv(x, kern, stride):
+                return jax.lax.conv_general_dilated(
+                    x, kern, (stride, stride), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         for b in args.batches:
             x = jax.random.normal(jax.random.PRNGKey(0),
@@ -74,7 +103,11 @@ def main():
             dt = per_iter_seconds(
                 step, (y0,), lambda c: float(jnp.mean(c[0])),
                 k=33, repeats=5)
-            ho, wo = (h + s - 1) // s, (w + s - 1) // s
+            # Transpose FLOPs counted at OUTPUT res (the dense conv on the
+            # lhs-dilated input XLA actually executes — matches bench.py's
+            # analytic ×4 accounting for the upsample chain).
+            ho, wo = ((h * s, w * s) if args.transpose
+                      else ((h + s - 1) // s, (w + s - 1) // s))
             gflop = 2 * b * ho * wo * k * k * cin * cout / 1e9
             mfu = gflop * 1e9 / dt / PEAK
             row = {"layer": tag, "batch": b, "ms": round(dt * 1e3, 4),
@@ -85,7 +118,7 @@ def main():
 
     # Flag non-monotonic per-image cost (the dip signature).
     print("\n== per-image ms by batch (dip = middle column worst) ==")
-    for tag, *_ in SHAPES:
+    for tag, *_ in shapes:
         r = {x["batch"]: x for x in rows if x["layer"] == tag}
         bs = sorted(r)
         line = {str(b): r[b]["ms_per_img"] for b in bs}
