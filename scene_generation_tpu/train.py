@@ -16,6 +16,13 @@ import json
 import os
 import time
 
+# Persistent compile cache: the full train step is a 10-20 min remote
+# compile on a cold tunnel; caching makes restarts/resumes (and the
+# post-crash re-run this module's SIGTERM handler enables) near-instant.
+# Env wins if the caller set a different dir; scripts/eval_run.py sets
+# the same path for its child stages.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import jax
 import numpy as np
 
