@@ -211,7 +211,7 @@ def bench_inference(batch_size):
 
 def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
                      adam_mu_dtype="", batch_size=None, donate=False,
-                     adam_nu_dtype="", grads_dtype=""):
+                     adam_nu_dtype="", grads_dtype="", remat=False):
     """Full adversarial step (G + VGG perceptual + 3 D updates), batch 12,
     production config (Pallas train compositor on TPU).
 
@@ -232,7 +232,8 @@ def bench_train_step(k_time=8, compute_dtype="float32", factored_stem=True,
     # measured 50.2 vs 61.2 ms/step bf16 (+22%; scripts/train_decomp.py).
     cfg = cfg.replace(model=dataclasses.replace(
         cfg.model, compute_dtype=compute_dtype,
-        factored_stem=factored_stem, scan_blocks=False))
+        factored_stem=factored_stem, scan_blocks=False,
+        remat_generator=remat))
     if adam_mu_dtype or adam_nu_dtype or grads_dtype:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, adam_mu_dtype=adam_mu_dtype,

@@ -285,9 +285,13 @@ class GlobalGenerator(nn.Module):
             h, _ = scanned(self.ngf * mult, dtype=self.dtype,
                            name="resblocks")(h, None)
         else:
+            # remat applies per-block here too: each unrolled block's
+            # interior activations are recomputed in the bwd pass instead
+            # of living in HBM across the whole fwd (A/B'd in RESULTS §42).
+            block_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
             for i in range(self.n_blocks):
-                h = ResnetBlock(self.ngf * mult, dtype=self.dtype,
-                                name=f"resblock_{i}")(h)
+                h = block_cls(self.ngf * mult, dtype=self.dtype,
+                              name=f"resblock_{i}")(h)
 
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)

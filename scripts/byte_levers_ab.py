@@ -36,6 +36,13 @@ LEGS = {
     "grads": {"grads_dtype": "bfloat16"},
     "nu16": {"adam_nu_dtype": "float16"},
     "mu_grads": {"adam_mu_dtype": "bfloat16", "grads_dtype": "bfloat16"},
+    # remat: per-block rematerialization of the 9 UNROLLED resblocks
+    # (nn.remat in generators.py) — the last §30 byte lever named in
+    # CLAUDE.md. Trades block-interior activation HBM traffic for ~2x
+    # resblock fwd FLOPs in the bwd; at 128px the bottleneck activations
+    # are (12,8,8,1024)*2B ≈ 1.6 MB/tensor, so the byte math predicts
+    # ~nothing — this leg exists to close the backlog with a measurement.
+    "remat": {"remat": True},
     "base": {},
 }
 

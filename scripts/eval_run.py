@@ -50,10 +50,16 @@ def main():
     # σ/mean ≈ 23-26% — too blind to resolve anything under ~50%. The
     # generator runs 2000+ img/s, so a 512-image FID costs seconds of
     # device time and tightens the band ~3x (√(512/56) on the sampling
-    # term alone); re-measured in RESULTS §40.
+    # term alone); re-measured in RESULTS §41.
     p.add_argument("--num_samples", type=int, default=512)
     p.add_argument("--encode_samples", type=int, default=512)
     p.add_argument("--diversity_samples", type=int, default=32)
+    # 64 (was 8): at n=512 the tunnel's per-dispatch round trip dominates
+    # a batch-8 sampling loop (~25 min/mode measured); batch 64 is the
+    # serving flagship and cuts the loop to 8 dispatches per mode. Only
+    # the model-noise draw order changes with batch size — statistically
+    # the same re-roll a seed performs, so the noise band is unaffected.
+    p.add_argument("--stage_batch_size", type=int, default=64)
     p.add_argument("--skip_diversity", action="store_true")
     p.add_argument("--accuracy_model_path", default=None,
                    help="accuracy-net checkpoint (train_accuracy_net.py); "
@@ -93,7 +99,7 @@ def main():
             out, f"features_clustered_{k}.npy")) for k in ("100", "001")):
         sh([py, "scripts/encode_features.py", "--output_dir", ckpt_dir,
             "--checkpoint_name", a.checkpoint_name,
-            "--num_samples", str(a.encode_samples), "--batch_size", "8",
+            "--num_samples", str(a.encode_samples), "--batch_size", str(a.stage_batch_size),
             "--save_dir", out] + data_flags)
 
     # The reference sampling protocol hardcodes the k=1 cluster table
@@ -117,7 +123,7 @@ def main():
         sh([py, "scripts/sample_images.py", "--output_dir", ckpt_dir,
             "--checkpoint_name", a.checkpoint_name,
             "--features_path", feats,
-            "--num_samples", str(a.num_samples), "--batch_size", "8",
+            "--num_samples", str(a.num_samples), "--batch_size", str(a.stage_batch_size),
             "--save_dir", d, "--save_layouts", "1"] + flags + val_flags)
 
     # 3. FID dirs + scores (real pngs are identical across modes)
@@ -149,7 +155,7 @@ def main():
             "--checkpoint_name", a.checkpoint_name,
             "--features_path", feats100,
             "--num_samples", str(a.diversity_samples),
-            "--batch_size", "8", "--out_json", div] + val_flags)
+            "--batch_size", str(a.stage_batch_size), "--out_json", div] + val_flags)
 
     # 4b. object accuracy of generated crops (reference protocol #4)
     if a.accuracy_model_path:
@@ -158,7 +164,7 @@ def main():
             sh([py, "scripts/sample_images.py", "--output_dir", ckpt_dir,
                 "--checkpoint_name", a.checkpoint_name,
                 "--features_path", feats,
-                "--num_samples", str(a.num_samples), "--batch_size", "8",
+                "--num_samples", str(a.num_samples), "--batch_size", str(a.stage_batch_size),
                 "--use_gt_attr", "1", "--use_gt_boxes", "1",
                 "--accuracy_model_path", a.accuracy_model_path,
                 "--accuracy_tiny", str(a.accuracy_tiny),

@@ -264,3 +264,30 @@ def test_grads_dtype_and_nu_dtype_levers():
             assert leaf.dtype == jnp.float16, leaf.dtype
         for leaf in jax.tree_util.tree_leaves(adam.mu):
             assert leaf.dtype == jnp.float32, leaf.dtype
+
+
+def test_remat_unrolled_is_semantically_noop():
+    """remat_generator with UNROLLED blocks (the train.py default path,
+    scan_blocks=0) must change only the bwd schedule, never the math:
+    one train step with remat on/off produces identical metrics.
+    (The scanned path got nn.remat in round 2; the unrolled wiring is
+    round 5's last §30 byte-lever candidate, A/B'd in RESULTS §42.)"""
+    import dataclasses
+    cfg = tiny_config()
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, scan_blocks=False))
+    batch = synthetic_batch(cfg, seed=0)
+    outs = {}
+    for remat in (False, True):
+        c = cfg.replace(model=dataclasses.replace(
+            cfg.model, scan_blocks=False, remat_generator=remat))
+        mods, state = create_train_state(c, jax.random.PRNGKey(0), batch,
+                                         load_vgg=False)
+        step = make_train_step(mods, donate=False)
+        _, m = step(state, batch)
+        outs[remat] = {k: float(v) for k, v in m.items()
+                       if not k.startswith("_")}
+    assert outs[False].keys() == outs[True].keys()
+    for k in outs[False]:
+        np.testing.assert_allclose(outs[True][k], outs[False][k],
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
